@@ -1,0 +1,534 @@
+"""BAM reader/writer and BAI index, implemented from scratch on BGZF.
+
+Provides the functionality the reference tool gets from htslib/rust-htslib
+(reference ``src/command_utils.rs:212-240`` get_serial_reader/get_bam_writer,
+``src/reads_sampler/sampling_schedule.rs:622`` IdxStats): header parsing,
+sequential record iteration, BAI-indexed region fetch, idxstats, and BAM
+writing. Record fields decode lazily into numpy arrays so the per-read
+decode pipeline stays vectorized.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bgzf import BgzfReader, BgzfWriter
+
+# 4-bit encoded seq alphabet per SAM spec
+SEQ_NT16 = np.frombuffer(b"=ACMGRSVTWYHKDBN", dtype=np.uint8)
+_NIB_HI = SEQ_NT16[np.arange(256) >> 4]
+_NIB_LO = SEQ_NT16[np.arange(256) & 0xF]
+
+# reverse complement table over ASCII
+_COMPL = np.arange(256, dtype=np.uint8)
+for _a, _b in [(65, 84), (67, 71), (71, 67), (84, 65), (97, 116), (99, 103), (103, 99), (116, 97)]:
+    _COMPL[_a] = _b
+_COMPL[ord("N")] = ord("N")
+_COMPL[ord("n")] = ord("n")
+_COMPL[ord("U")] = ord("A")
+
+CIGAR_OPS = "MIDNSHP=X"
+# per-op: (consumes_query, consumes_ref)
+CIGAR_CONSUMES = np.array(
+    [(1, 1), (1, 0), (0, 1), (0, 1), (1, 0), (0, 0), (0, 0), (1, 1), (1, 1)],
+    dtype=np.int64,
+)
+
+FLAG_PAIRED = 0x1
+FLAG_UNMAPPED = 0x4
+FLAG_REVERSE = 0x10
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+
+class BamRecord:
+    """One alignment record, lazily decoded from its raw BAM bytes."""
+
+    __slots__ = (
+        "_buf", "ref_id", "pos", "mapq", "flag", "l_seq", "next_ref_id",
+        "next_pos", "tlen", "_l_read_name", "_n_cigar", "_name", "_cigar",
+        "_seq_off", "_aux_off", "_aux", "_fwd_seq",
+    )
+
+    def __init__(self, buf: bytes):
+        self._buf = buf
+        (self.ref_id, self.pos, self._l_read_name, self.mapq, _bin,
+         self._n_cigar, self.flag, self.l_seq, self.next_ref_id,
+         self.next_pos, self.tlen) = struct.unpack_from("<iiBBHHHIiii", buf, 0)
+        self._name = None
+        self._cigar = None
+        seq_off = 32 + self._l_read_name + 4 * self._n_cigar
+        self._seq_off = seq_off
+        self._aux_off = seq_off + (self.l_seq + 1) // 2 + self.l_seq
+        self._aux = None
+        self._fwd_seq = None
+
+    # --- flags ---
+    @property
+    def is_unmapped(self) -> bool:
+        return bool(self.flag & FLAG_UNMAPPED)
+
+    @property
+    def is_reverse(self) -> bool:
+        return bool(self.flag & FLAG_REVERSE)
+
+    @property
+    def is_secondary(self) -> bool:
+        return bool(self.flag & FLAG_SECONDARY)
+
+    @property
+    def is_supplementary(self) -> bool:
+        return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    @property
+    def is_duplicate(self) -> bool:
+        return bool(self.flag & FLAG_DUP)
+
+    @property
+    def is_not_primary(self) -> bool:
+        """reference util.rs:405 record_is_not_primary"""
+        return bool(self.flag & (FLAG_SECONDARY | FLAG_SUPPLEMENTARY | FLAG_DUP))
+
+    @property
+    def name(self) -> str:
+        if self._name is None:
+            off = 32
+            self._name = self._buf[off : off + self._l_read_name - 1].decode()
+        return self._name
+
+    @property
+    def cigar(self) -> np.ndarray:
+        """uint32 array of raw cigar values (len<<4 | op)."""
+        if self._cigar is None:
+            off = 32 + self._l_read_name
+            self._cigar = np.frombuffer(
+                self._buf, dtype="<u4", count=self._n_cigar, offset=off
+            )
+        return self._cigar
+
+    def seq_bytes(self) -> np.ndarray:
+        """Aligned-orientation sequence as ASCII uint8 array."""
+        nb = np.frombuffer(
+            self._buf, dtype=np.uint8, count=(self.l_seq + 1) // 2,
+            offset=self._seq_off,
+        )
+        out = np.empty(2 * len(nb), dtype=np.uint8)
+        out[0::2] = _NIB_HI[nb]
+        out[1::2] = _NIB_LO[nb]
+        return out[: self.l_seq]
+
+    def forward_seq(self) -> np.ndarray:
+        """Sequence in instrument orientation (revcomp if reverse-aligned).
+
+        reference util.rs:153 get_forward_sequence.
+        """
+        if self._fwd_seq is None:
+            s = self.seq_bytes()
+            if self.is_reverse:
+                s = _COMPL[s[::-1]]
+            self._fwd_seq = s
+        return self._fwd_seq
+
+    def quals(self) -> np.ndarray:
+        off = self._seq_off + (self.l_seq + 1) // 2
+        return np.frombuffer(self._buf, dtype=np.uint8, count=self.l_seq, offset=off)
+
+    # --- aux tags ---
+    def _scan_aux(self) -> dict:
+        if self._aux is not None:
+            return self._aux
+        buf = self._buf
+        p = self._aux_off
+        end = len(buf)
+        out = {}
+        while p + 3 <= end:
+            tag = buf[p : p + 2].decode("ascii", "replace")
+            typ = chr(buf[p + 2])
+            p += 3
+            if typ == "A":
+                out[tag] = ("A", chr(buf[p])); p += 1
+            elif typ in "cC":
+                v = buf[p] if typ == "C" else struct.unpack_from("<b", buf, p)[0]
+                out[tag] = (typ, v); p += 1
+            elif typ in "sS":
+                v = struct.unpack_from("<h" if typ == "s" else "<H", buf, p)[0]
+                out[tag] = (typ, v); p += 2
+            elif typ in "iI":
+                v = struct.unpack_from("<i" if typ == "i" else "<I", buf, p)[0]
+                out[tag] = (typ, v); p += 4
+            elif typ == "f":
+                out[tag] = ("f", struct.unpack_from("<f", buf, p)[0]); p += 4
+            elif typ in "ZH":
+                q = buf.index(b"\x00", p)
+                out[tag] = (typ, buf[p:q].decode("ascii", "replace")); p = q + 1
+            elif typ == "B":
+                sub = chr(buf[p])
+                n = struct.unpack_from("<I", buf, p + 1)[0]
+                dt = {"c": "<i1", "C": "<u1", "s": "<i2", "S": "<u2",
+                      "i": "<i4", "I": "<u4", "f": "<f4"}[sub]
+                arr = np.frombuffer(buf, dtype=dt, count=n, offset=p + 5)
+                itemsize = np.dtype(dt).itemsize
+                out[tag] = ("B" + sub, arr)
+                p += 5 + n * itemsize
+            else:
+                raise ValueError(f"unknown aux type {typ!r} in tag {tag}")
+        self._aux = out
+        return out
+
+    def get_aux(self, tag: str):
+        """Return (type_char, value) or None."""
+        return self._scan_aux().get(tag)
+
+    def aux_items(self):
+        return self._scan_aux().items()
+
+    # --- alignment geometry ---
+    def reference_span(self) -> int:
+        cg = self.cigar
+        ops = cg & 0xF
+        lens = (cg >> 4).astype(np.int64)
+        return int(lens[CIGAR_CONSUMES[ops, 1].astype(bool)].sum())
+
+    def reference_end(self) -> int:
+        return self.pos + self.reference_span()
+
+    def aligned_pairs(self) -> tuple[np.ndarray, np.ndarray]:
+        """(qpos, rpos) int64 arrays for match columns (M/=/X only).
+
+        Mirrors rust-htslib ``aligned_pairs`` as consumed at
+        reference util.rs:122 (match-only pairs).
+        """
+        cg = self.cigar
+        ops = cg & 0xF
+        lens = (cg >> 4).astype(np.int64)
+        cq = CIGAR_CONSUMES[ops, 0] * lens
+        cr = CIGAR_CONSUMES[ops, 1] * lens
+        q_starts = np.concatenate([[0], np.cumsum(cq)[:-1]])
+        r_starts = self.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
+        is_match = (ops == 0) | (ops == 7) | (ops == 8)
+        if not is_match.any():
+            z = np.empty(0, dtype=np.int64)
+            return z, z
+        m_lens = lens[is_match]
+        mq = q_starts[is_match]
+        mr = r_starts[is_match]
+        total = int(m_lens.sum())
+        # vectorized expansion of [start, start+len) runs
+        reps = np.repeat(np.arange(len(m_lens)), m_lens)
+        within = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(m_lens)[:-1]]), m_lens
+        )
+        return mq[reps] + within, mr[reps] + within
+
+    def aligned_pairs_forward(self) -> tuple[np.ndarray, np.ndarray]:
+        """(forward_qpos, rpos): query positions in instrument orientation.
+
+        reference util.rs:122 get_aligned_pairs_forward.
+        """
+        q, r = self.aligned_pairs()
+        if self.is_reverse:
+            q = self.l_seq - 1 - q
+        return q, r
+
+    def deletion_ref_positions(self) -> np.ndarray:
+        """Reference positions covered by D ops (htslib pileup is_del)."""
+        cg = self.cigar
+        ops = cg & 0xF
+        lens = (cg >> 4).astype(np.int64)
+        cr = CIGAR_CONSUMES[ops, 1] * lens
+        r_starts = self.pos + np.concatenate([[0], np.cumsum(cr)[:-1]])
+        is_del = ops == 2
+        if not is_del.any():
+            return np.empty(0, dtype=np.int64)
+        d_lens = lens[is_del]
+        d_starts = r_starts[is_del]
+        reps = np.repeat(np.arange(len(d_lens)), d_lens)
+        within = np.arange(int(d_lens.sum())) - np.repeat(
+            np.concatenate([[0], np.cumsum(d_lens)[:-1]]), d_lens
+        )
+        return d_starts[reps] + within
+
+    def raw(self) -> bytes:
+        return self._buf
+
+
+@dataclass
+class Reference:
+    name: str
+    length: int
+
+
+class BamHeader:
+    def __init__(self, text: str, refs: list[Reference]):
+        self.text = text
+        self.refs = refs
+        self.name_to_tid = {r.name: i for i, r in enumerate(refs)}
+
+    def tid2name(self, tid: int) -> str:
+        return self.refs[tid].name
+
+    def to_bytes(self) -> bytes:
+        text = self.text.encode()
+        out = [b"BAM\x01", struct.pack("<i", len(text)), text,
+               struct.pack("<i", len(self.refs))]
+        for r in self.refs:
+            nm = r.name.encode() + b"\x00"
+            out += [struct.pack("<i", len(nm)), nm, struct.pack("<i", r.length)]
+        return b"".join(out)
+
+
+class BamReader:
+    def __init__(self, path: str | os.PathLike):
+        self.path = os.fspath(path)
+        self._bgzf = BgzfReader(self.path)
+        magic = self._bgzf.read(4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        (l_text,) = struct.unpack("<i", self._bgzf.read(4))
+        text = self._bgzf.read(l_text).rstrip(b"\x00").decode()
+        (n_ref,) = struct.unpack("<i", self._bgzf.read(4))
+        refs = []
+        for _ in range(n_ref):
+            (l_name,) = struct.unpack("<i", self._bgzf.read(4))
+            name = self._bgzf.read(l_name)[:-1].decode()
+            (l_ref,) = struct.unpack("<i", self._bgzf.read(4))
+            refs.append(Reference(name, l_ref))
+        self.header = BamHeader(text, refs)
+        self._body_voffset = self._bgzf.tell_voffset()
+        self._index = None
+
+    # --- sequential iteration ---
+    def __iter__(self):
+        return self.records()
+
+    def records(self, from_voffset: int | None = None):
+        """Iterate records sequentially from the body start (or a voffset)."""
+        data = self._bgzf.read_all_from(
+            self._body_voffset if from_voffset is None else from_voffset
+        )
+        yield from _iter_records_in(data)
+
+    # --- index ---
+    @property
+    def index(self) -> "BaiIndex":
+        if self._index is None:
+            for ext in (".bai", ".csi"):
+                p = self.path + ext
+                if os.path.exists(p):
+                    if ext == ".bai":
+                        self._index = BaiIndex.from_path(p)
+                        break
+                    raise NotImplementedError("CSI index not supported yet")
+            else:
+                base, _ = os.path.splitext(self.path)
+                p = base + ".bai"
+                if os.path.exists(p):
+                    self._index = BaiIndex.from_path(p)
+                else:
+                    raise FileNotFoundError(f"no index for {self.path}")
+        return self._index
+
+    def has_index(self) -> bool:
+        try:
+            _ = self.index
+            return True
+        except (FileNotFoundError, NotImplementedError):
+            return False
+
+    def fetch(self, tid: int, start: int, end: int):
+        """Yield records overlapping [start, end) on tid, via the BAI index."""
+        chunks = self.index.query(tid, start, end)
+        for cbeg, cend in chunks:
+            self._bgzf.seek_voffset(cbeg)
+            buf = bytearray()
+            # read enough compressed data to cover the chunk
+            while self._bgzf.tell_voffset() < cend:
+                piece = self._bgzf.read(1 << 16)
+                if not piece:
+                    break
+                buf += piece
+            for rec in _iter_records_in(bytes(buf), allow_partial_tail=True):
+                if rec.ref_id != tid or rec.pos >= end:
+                    if rec.ref_id > tid or (rec.ref_id == tid and rec.pos >= end):
+                        return
+                    continue
+                if rec.is_unmapped:
+                    continue
+                if rec.reference_end() > start:
+                    yield rec
+
+    def fetch_unmapped(self):
+        """Yield unmapped-unplaced records from the tail of the file."""
+        voff = self.index.first_unmapped_voffset()
+        if voff is None:
+            # fall back: scan everything
+            for rec in self.records():
+                if rec.ref_id < 0:
+                    yield rec
+            return
+        self._bgzf.seek_voffset(voff)
+        data = self._bgzf.read_all_from(voff)
+        for rec in _iter_records_in(data):
+            if rec.ref_id < 0:
+                yield rec
+
+    def idxstats(self) -> list[tuple[str, int, int, int]]:
+        """(name, length, n_mapped, n_unmapped) per reference; samtools idxstats.
+
+        reference sampling_schedule.rs:622 IdxStats.
+        """
+        idx = self.index
+        out = []
+        for tid, ref in enumerate(self.header.refs):
+            mapped, unmapped = idx.counts(tid)
+            out.append((ref.name, ref.length, mapped, unmapped))
+        return out
+
+    def n_no_coor(self) -> int:
+        return self.index.n_no_coor
+
+
+def _iter_records_in(data: bytes, allow_partial_tail: bool = False):
+    p = 0
+    n = len(data)
+    while p + 4 <= n:
+        (block_size,) = struct.unpack_from("<i", data, p)
+        if p + 4 + block_size > n:
+            if allow_partial_tail:
+                return
+            raise ValueError("truncated BAM record")
+        yield BamRecord(data[p + 4 : p + 4 + block_size])
+        p += 4 + block_size
+
+
+# ---------------------------------------------------------------- BAI index
+
+_MAX_BIN = 37450  # ((1<<18)-1)/7 + 1
+_PSEUDO_BIN = 37450
+
+
+def reg2bins(beg: int, end: int) -> list[int]:
+    """Standard UCSC/BAM binning: bins overlapping [beg, end)."""
+    end -= 1
+    bins = [0]
+    for shift, offset in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(offset + (beg >> shift), offset + (end >> shift) + 1))
+    return bins
+
+
+class BaiIndex:
+    def __init__(self, per_ref: list, n_no_coor: int):
+        # per_ref: list of (bins: dict[bin -> list[(beg,end)]], ioffsets: ndarray,
+        #                   stats: (mapped, unmapped) | None)
+        self._per_ref = per_ref
+        self.n_no_coor = n_no_coor
+
+    @classmethod
+    def from_path(cls, path: str) -> "BaiIndex":
+        with open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"BAI\x01":
+            raise ValueError(f"{path}: bad BAI magic")
+        p = 4
+        (n_ref,) = struct.unpack_from("<i", data, p); p += 4
+        per_ref = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, p); p += 4
+            bins = {}
+            stats = None
+            for _ in range(n_bin):
+                bin_id, n_chunk = struct.unpack_from("<Ii", data, p); p += 8
+                chunks = np.frombuffer(data, dtype="<u8", count=2 * n_chunk, offset=p)
+                p += 16 * n_chunk
+                if bin_id == _PSEUDO_BIN and n_chunk == 2:
+                    stats = (int(chunks[2]), int(chunks[3]))
+                else:
+                    bins[bin_id] = chunks.reshape(-1, 2)
+            (n_intv,) = struct.unpack_from("<i", data, p); p += 4
+            ioffsets = np.frombuffer(data, dtype="<u8", count=n_intv, offset=p)
+            p += 8 * n_intv
+            per_ref.append((bins, ioffsets, stats))
+        n_no_coor = 0
+        if p + 8 <= len(data):
+            (n_no_coor,) = struct.unpack_from("<Q", data, p)
+        return cls(per_ref, int(n_no_coor))
+
+    def counts(self, tid: int) -> tuple[int, int]:
+        stats = self._per_ref[tid][2]
+        return stats if stats is not None else (0, 0)
+
+    def query(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
+        """Merged (voffset_beg, voffset_end) chunks overlapping region."""
+        bins, ioffsets, _ = self._per_ref[tid]
+        min_off = 0
+        if len(ioffsets):
+            # linear index: lowest voffset of any record overlapping each
+            # 16kb window; zero entries mean "no data", walk back for a bound
+            w = min(beg >> 14, len(ioffsets) - 1)
+            while w >= 0 and ioffsets[w] == 0:
+                w -= 1
+            if w >= 0:
+                min_off = int(ioffsets[w])
+        chunks = []
+        for b in reg2bins(beg, end):
+            arr = bins.get(b)
+            if arr is not None:
+                for cbeg, cend in arr:
+                    if cend > min_off:
+                        chunks.append((max(int(cbeg), min_off), int(cend)))
+        if not chunks:
+            return []
+        chunks.sort()
+        merged = [chunks[0]]
+        for cbeg, cend in chunks[1:]:
+            if cbeg <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], cend))
+            else:
+                merged.append((cbeg, cend))
+        return merged
+
+    def first_unmapped_voffset(self) -> int | None:
+        """voffset just past the last mapped chunk (start of unmapped tail)."""
+        best = 0
+        for bins, _, _ in self._per_ref:
+            for arr in bins.values():
+                if len(arr):
+                    best = max(best, int(arr[:, 1].max()))
+        return best or None
+
+    def any_mapped_reads(self) -> bool:
+        return any(
+            (stats is not None and stats[0] > 0) or bins
+            for bins, _, stats in self._per_ref
+        )
+
+
+# ---------------------------------------------------------------- writer
+
+class BamWriter:
+    def __init__(self, path_or_fileobj, header: BamHeader, level: int = 6):
+        self._bgzf = BgzfWriter(path_or_fileobj, level=level)
+        self._bgzf.write(header.to_bytes())
+        self.header = header
+
+    def write(self, rec: BamRecord) -> None:
+        buf = rec.raw()
+        self._bgzf.write(struct.pack("<i", len(buf)) + buf)
+
+    def write_raw(self, buf: bytes) -> None:
+        self._bgzf.write(struct.pack("<i", len(buf)) + buf)
+
+    def close(self) -> None:
+        self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

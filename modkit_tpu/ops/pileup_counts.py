@@ -1,0 +1,185 @@
+"""Device kernels: threshold calling + per-position pileup count aggregation.
+
+This is the TPU-native replacement for the reference's per-read/per-column
+hot loops (``threshold_mod_caller.rs:28`` call, ``pileup/mod.rs:238``
+FeatureVector::add_feature, ``pileup/mod.rs:763-974`` column loop). Instead
+of a per-column pileup engine, the host emits flat *event* arrays per genome
+tile and one fused jit kernel computes the thresholded call per event and
+scatter-adds one-hot counters into the tile's count tensor.
+
+Count-tensor layout per (position, strand): ``K = 6 + 4 * (M + 1)`` int32
+counters for an M-code vocabulary:
+
+    0                      n_delete
+    1                      n_filtered
+    2 + b                  n_nocall for primary base b (ACGT)
+    6 + b*(M+1) + 0        n_canonical for base b
+    6 + b*(M+1) + 1 + j    n_mod for base b, mod code j
+
+Event encoding:
+    ev_type 0 = mod-call candidate (probs row is live)
+    ev_type 1 = nocall
+    ev_type 2 = delete
+
+Call semantics match MultipleThresholdModCaller::call: a mod class passes if
+``p >= threshold(code, base)``; canonical passes if ``1 - sum(p) >=
+threshold(base)``; winner = max-probability passing candidate with canonical
+winning ties; no candidate -> Filtered. Tie between two mod classes resolves
+to the higher code-column index (candidate insertion order approximation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# padding buckets to bound jit recompiles
+_EVENT_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
+
+
+def round_up_events(n: int) -> int:
+    for b in _EVENT_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _EVENT_BUCKETS[-1] - 1) // _EVENT_BUCKETS[-1]) * _EVENT_BUCKETS[-1]
+
+
+_POS_BUCKETS = (32, 256, 2048, 16_384, 100_000, 1_000_000)
+
+
+def round_up_positions(n: int) -> int:
+    for b in _POS_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _POS_BUCKETS[-1] - 1) // _POS_BUCKETS[-1]) * _POS_BUCKETS[-1]
+
+
+def round_up_codes(m: int) -> int:
+    for b in (1, 2, 4, 8):
+        if m <= b:
+            return b
+    return m
+
+
+def threshold_states(probs, base_idx, thr_mod, thr_can):
+    """Per-event call state: 0 = filtered, 1 = canonical, 2+j = mod code j.
+
+    probs: f32 [N, M] with -1 for absent classes; base_idx: i32 [N];
+    thr_mod: f32 [M, 4]; thr_can: f32 [4]. Also returns canonical prob.
+    """
+    m = probs.shape[1]
+    present = probs >= 0
+    thr_e = thr_mod.T[base_idx]  # [N, M]
+    pass_mod = present & (probs >= thr_e)
+    canon_p = jnp.float32(1.0) - jnp.sum(
+        jnp.where(present, probs, 0.0), axis=1
+    )
+    pass_can = canon_p >= thr_can[base_idx]
+    mod_p = jnp.where(pass_mod, probs, -jnp.inf)
+    # last max wins among mod classes (Rust Iterator::max keeps the last)
+    rev_arg = (m - 1) - jnp.argmax(mod_p[:, ::-1], axis=1)
+    best_p = jnp.take_along_axis(mod_p, rev_arg[:, None], axis=1)[:, 0]
+    any_mod = pass_mod.any(axis=1)
+    choose_can = pass_can & ((~any_mod) | (canon_p >= best_p))
+    state = jnp.where(
+        choose_can,
+        1,
+        jnp.where(any_mod, 2 + rev_arg.astype(jnp.int32), 0),
+    )
+    return state, canon_p
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_positions", "num_codes")
+)
+def pileup_count_kernel(
+    rpos,  # i32 [N] tile-relative reference position
+    strand,  # i32 [N] output strand after strand-rule routing (0 +, 1 -)
+    base_idx,  # i32 [N] primary/count base (ACGT = 0..3)
+    ev_type,  # i32 [N] 0 modcall / 1 nocall / 2 delete
+    probs,  # f32 [N, M]
+    valid,  # bool [N]
+    thr_mod,  # f32 [M, 4]
+    thr_can,  # f32 [4]
+    *,
+    num_positions: int,
+    num_codes: int,
+):
+    """Fused threshold-call + scatter-add count aggregation for one tile."""
+    m = num_codes
+    k = 6 + 4 * (m + 1)
+    state, _ = threshold_states(probs, base_idx, thr_mod, thr_can)
+    mod_counter = jnp.where(
+        state == 0, 1, 6 + base_idx * (m + 1) + (state - 1)
+    )
+    counter = jnp.where(
+        ev_type == 0, mod_counter, jnp.where(ev_type == 1, 2 + base_idx, 0)
+    )
+    flat = (rpos * 2 + strand) * k + counter
+    flat = jnp.where(valid, flat, 0)
+    w = valid.astype(jnp.int32)
+    counts = jnp.zeros((num_positions * 2 * k,), jnp.int32).at[flat].add(w)
+    return counts.reshape(num_positions, 2, k)
+
+
+def run_pileup_counts(
+    rpos: np.ndarray,
+    strand: np.ndarray,
+    base_idx: np.ndarray,
+    ev_type: np.ndarray,
+    probs: np.ndarray,
+    thr_mod: np.ndarray,
+    thr_can: np.ndarray,
+    num_positions: int,
+) -> np.ndarray:
+    """Host wrapper: pad events/positions/codes to buckets (bounding jit
+    specializations), run the kernel, return numpy counts
+    [num_positions, 2, K(m_pad)] where m_pad = round_up_codes(m)."""
+    n = len(rpos)
+    m = probs.shape[1] if probs.ndim == 2 else 1
+    m_pad = round_up_codes(max(m, 1))
+    k = 6 + 4 * (m_pad + 1)
+    if n == 0:
+        return np.zeros((num_positions, 2, k), dtype=np.int32)
+    p_pad = round_up_positions(num_positions)
+    nb = round_up_events(n)
+    pad = nb - n
+
+    def pad1(a, fill=0):
+        return np.pad(a, (0, pad), constant_values=fill)
+
+    probs_p = np.pad(
+        probs, ((0, pad), (0, m_pad - m)), constant_values=-1.0
+    )
+    thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
+    valid = np.zeros(nb, dtype=bool)
+    valid[:n] = True
+    out = pileup_count_kernel(
+        jnp.asarray(pad1(rpos).astype(np.int32)),
+        jnp.asarray(pad1(strand).astype(np.int32)),
+        jnp.asarray(pad1(base_idx).astype(np.int32)),
+        jnp.asarray(pad1(ev_type).astype(np.int32)),
+        jnp.asarray(probs_p.astype(np.float32)),
+        jnp.asarray(valid),
+        jnp.asarray(thr_mod_p.astype(np.float32)),
+        jnp.asarray(thr_can.astype(np.float32)),
+        num_positions=p_pad,
+        num_codes=m_pad,
+    )
+    return np.asarray(out)[:num_positions]
+
+
+def counts_layout(num_codes: int) -> dict:
+    """Index helpers for the counter axis."""
+    m = num_codes
+    return dict(
+        K=6 + 4 * (m + 1),
+        DELETE=0,
+        FILTERED=1,
+        NOCALL=lambda b: 2 + b,
+        CANONICAL=lambda b: 6 + b * (m + 1),
+        MOD=lambda b, j: 6 + b * (m + 1) + 1 + j,
+    )

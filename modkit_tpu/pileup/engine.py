@@ -1,0 +1,292 @@
+"""Pileup tile engine: reads -> events -> device counts -> bedMethyl rows.
+
+Replaces the reference's per-column htslib pileup loop (pileup/mod.rs:718
+process_region) with a tiled host-batch + device-aggregate design: reads are
+fetched per genome tile, expanded to flat event arrays (events.py), counted
+on device by the fused threshold-call/scatter-add kernel, and decoded into
+bedMethyl rows per (position, strand, primary base, observed mod code).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..caller import ThresholdCaller
+from ..collapse import CollapseMethod
+from ..errors import ErrorTally, ModKitError
+from ..modcodes import DNA_BASES, any_mod_code, mod_code_sort_key
+from ..ops.pileup_counts import counts_layout, run_pileup_counts
+from .events import EV_MODCALL, EdgeFilter, read_to_events, skipped_read_events
+
+
+@dataclass
+class PileupRow:
+    """One bedMethyl row (pileup/mod.rs:55 PileupFeatureCounts)."""
+
+    pos: int
+    strand: str  # '+', '-', '.'
+    mod_code: object
+    valid_coverage: int
+    fraction_modified: float  # computed in f32
+    n_modified: int
+    n_canonical: int
+    n_other_modified: int
+    n_delete: int
+    n_filtered: int
+    n_diff: int
+    n_nocall: int
+    motif_idx: int | None = None
+
+
+@dataclass
+class PileupOptions:
+    combine_mods: bool = False  # PileupNumericOptions::Combine
+    collapse: list = field(default_factory=list)  # CollapseMethod list
+    edge_filter: EdgeFilter | None = None
+    force_allow: bool = False
+    combine_strands: bool = False
+    max_depth: int = 8000
+    # focus positions / motifs are handled by the caller (engine processes
+    # every covered position when focus is None)
+    use_device: bool = True
+
+
+class TileProcessor:
+    """Processes genome tiles; caches read decode across tiles of a contig.
+
+    The reference re-decodes reads per interval fetch (ReadCache is per
+    region); we cache by read name+pos since event extraction is read-global.
+    """
+
+    def __init__(self, caller: ThresholdCaller, opts: PileupOptions):
+        self.caller = caller
+        self.opts = opts
+        self.errors = ErrorTally()
+        self._cache: dict = {}
+        self._cache_tid: int | None = None
+        self.n_used = 0
+        self.n_skipped = 0
+
+    def _events_for(self, rec, tid):
+        if tid != self._cache_tid:
+            self._cache.clear()
+            self._cache_tid = tid
+        key = (rec.name, rec.pos, rec.flag)
+        ev = self._cache.get(key)
+        if ev is None:
+            try:
+                ev = read_to_events(
+                    rec,
+                    collapse_methods=self.opts.collapse,
+                    edge_filter=self.opts.edge_filter,
+                    force_allow=self.opts.force_allow,
+                )
+                self.n_used += 1
+            except ModKitError as e:
+                self.errors.add(e)
+                ev = skipped_read_events(rec)
+                self.n_skipped += 1
+            if len(self._cache) > 4096:
+                self._cache.clear()
+            self._cache[key] = ev
+        return ev
+
+    def process_tile(
+        self, reader, tid: int, start: int, end: int
+    ) -> list[tuple[int, list[PileupRow]]]:
+        """Return [(position, rows)] sorted by position for one tile."""
+        reads = []
+        for rec in reader.fetch(tid, start, end):
+            if rec.is_not_primary or rec.l_seq == 0:
+                continue
+            reads.append(self._events_for(rec, tid))
+        if not reads:
+            return []
+
+        # tile-wide code vocabulary, insertion order across reads
+        vocab: list = []
+        vindex: dict = {}
+        for ev in reads:
+            for c in ev.codes:
+                if c not in vindex:
+                    vindex[c] = len(vocab)
+                    vocab.append(c)
+        m = max(len(vocab), 1)
+        p = end - start
+
+        # assemble event arrays clipped to the tile
+        rpos_l, strand_l, base_l, type_l, probs_l = [], [], [], [], []
+        for ev in reads:
+            if len(ev.rpos) == 0:
+                continue
+            sel = (ev.rpos >= start) & (ev.rpos < end)
+            if not sel.any():
+                continue
+            rpos_l.append(ev.rpos[sel] - start)
+            strand_l.append(ev.out_strand[sel])
+            base_l.append(ev.base_idx[sel])
+            type_l.append(ev.ev_type[sel])
+            pr = np.full((int(sel.sum()), m), -1.0, dtype=np.float32)
+            if ev.probs.shape[1]:
+                cols = [vindex[c] for c in ev.codes]
+                pr[:, cols] = ev.probs[sel]
+            probs_l.append(pr)
+
+        lay = counts_layout(m)
+        if rpos_l:
+            rpos = np.concatenate(rpos_l).astype(np.int32)
+            strand = np.concatenate(strand_l).astype(np.int32)
+            base_idx = np.concatenate(base_l).astype(np.int32)
+            ev_type = np.concatenate(type_l).astype(np.int32)
+            probs = np.concatenate(probs_l, axis=0)
+            thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
+            if self.opts.use_device:
+                counts = run_pileup_counts(
+                    rpos, strand, base_idx, ev_type, probs,
+                    thr_mod, thr_can, p,
+                )
+            else:
+                counts = _numpy_counts(
+                    rpos, strand, base_idx, ev_type, probs,
+                    thr_mod, thr_can, p, m,
+                )
+        else:
+            counts = np.zeros((p, 2, lay["K"]), dtype=np.int32)
+
+        # observed codes per (pos, strand, base): painted over each read's
+        # covered intervals (read_cache.rs:298 add_mod_codes_for_record)
+        observed = np.zeros((p, 2, 4, m), dtype=bool)
+        for ev in reads:
+            if not ev.registered or ev.cover is None or not len(ev.cover):
+                continue
+            for (sk, tb), codes in ev.registered.items():
+                cols = [vindex[c] for c in codes]
+                if not cols:
+                    continue
+                for a, b_ in ev.cover:
+                    a2, b2 = max(a - start, 0), min(b_ - start, p)
+                    if a2 < b2:
+                        for c in cols:
+                            observed[a2:b2, sk, tb, c] = True
+
+        return decode_counts(
+            counts, observed, vocab, start,
+            combine_mods=self.opts.combine_mods,
+        )
+
+
+def _numpy_counts(
+    rpos, strand, base_idx, ev_type, probs, thr_mod, thr_can, p, m
+):
+    """Pure-numpy oracle of the device kernel (for tests / fallback)."""
+    if probs.shape[1] == 0:
+        m = 1
+        probs = np.full((len(rpos), 1), -1.0, dtype=np.float32)
+        thr_mod = np.zeros((1, 4), dtype=np.float32)
+    k = 6 + 4 * (m + 1)
+    present = probs >= 0
+    thr_e = thr_mod.T[base_idx]
+    pass_mod = present & (probs >= thr_e)
+    canon_p = np.float32(1.0) - np.where(present, probs, 0).sum(
+        axis=1, dtype=np.float32
+    )
+    pass_can = canon_p >= thr_can[base_idx]
+    mod_p = np.where(pass_mod, probs, -np.inf)
+    rev_arg = (m - 1) - np.argmax(mod_p[:, ::-1], axis=1)
+    best_p = np.take_along_axis(mod_p, rev_arg[:, None], axis=1)[:, 0]
+    any_mod = pass_mod.any(axis=1)
+    choose_can = pass_can & ((~any_mod) | (canon_p >= best_p))
+    state = np.where(choose_can, 1, np.where(any_mod, 2 + rev_arg, 0))
+    mod_counter = np.where(state == 0, 1, 6 + base_idx * (m + 1) + (state - 1))
+    counter = np.where(
+        ev_type == 0, mod_counter, np.where(ev_type == 1, 2 + base_idx, 0)
+    )
+    flat = (rpos.astype(np.int64) * 2 + strand) * k + counter
+    counts = np.bincount(flat, minlength=p * 2 * k).astype(np.int32)
+    return counts.reshape(p, 2, k)
+
+
+def decode_counts(
+    counts: np.ndarray,
+    observed: np.ndarray,
+    vocab: list,
+    tile_start: int,
+    combine_mods: bool = False,
+) -> list[tuple[int, list[PileupRow]]]:
+    """Count tensor -> bedMethyl rows (pileup/mod.rs:412 FeatureVector::decode).
+
+    Rows per (pos, strand): for each primary base with >= 1 valid call, one
+    row per observed mod code for that base (or a single any-mod row with
+    --combine-mods), sorted by (strand, mod code).
+    """
+    p, _, k = counts.shape
+    m = len(vocab)
+    m_pad = (k - 6) // 4 - 1  # counts may carry padded code columns
+    lay = counts_layout(m_pad)
+    can_cols = np.array([lay["CANONICAL"](b) for b in range(4)])
+    # valid per (pos, strand, base); padded code columns are always zero
+    mods_nd = np.stack(
+        [
+            counts[:, :, lay["CANONICAL"](b) + 1 : lay["CANONICAL"](b) + 1 + m_pad]
+            for b in range(4)
+        ],
+        axis=2,
+    )  # [p, 2, 4, m_pad]
+    can_nd = counts[:, :, can_cols]  # [p, 2, 4]
+    nocall_nd = counts[:, :, 2:6]  # [p, 2, 4]
+    valid_nd = can_nd + mods_nd.sum(axis=3)  # [p, 2, 4]
+    total_valid = valid_nd.sum(axis=2)  # [p, 2]
+    total_nocall = nocall_nd.sum(axis=2)
+
+    active = np.flatnonzero(valid_nd.any(axis=(1, 2)))
+    out = []
+    order_key = [mod_code_sort_key(c) for c in vocab]
+    for pi in active:
+        rows: list[PileupRow] = []
+        for s in (0, 1):
+            strand_ch = "+" if s == 0 else "-"
+            n_del = int(counts[pi, s, 0])
+            n_filt = int(counts[pi, s, 1])
+            for b in range(4):
+                valid = int(valid_nd[pi, s, b])
+                if valid == 0:
+                    continue
+                n_can = int(can_nd[pi, s, b])
+                n_nocall = int(nocall_nd[pi, s, b])
+                n_diff = int(
+                    (total_valid[pi, s] - valid)
+                    + (total_nocall[pi, s] - n_nocall)
+                )
+                if combine_mods:
+                    n_mod_total = valid - n_can
+                    frac = np.float32(n_mod_total) / np.float32(valid)
+                    rows.append(
+                        PileupRow(
+                            tile_start + int(pi), strand_ch,
+                            any_mod_code(DNA_BASES[b]), valid, float(frac),
+                            n_mod_total, n_can, 0, n_del, n_filt, n_diff,
+                            n_nocall,
+                        )
+                    )
+                else:
+                    for j in range(m):
+                        if not observed[pi, s, b, j]:
+                            continue
+                        n_mod = int(mods_nd[pi, s, b, j])
+                        n_other = int(mods_nd[pi, s, b].sum()) - n_mod
+                        frac = np.float32(n_mod) / np.float32(valid)
+                        rows.append(
+                            PileupRow(
+                                tile_start + int(pi), strand_ch, vocab[j],
+                                valid, float(frac), n_mod, n_can, n_other,
+                                n_del, n_filt, n_diff, n_nocall,
+                            )
+                        )
+        rows.sort(
+            key=lambda r: (0 if r.strand == "+" else 1, mod_code_sort_key(r.mod_code))
+        )
+        if rows:
+            out.append((tile_start + int(pi), rows))
+    return out

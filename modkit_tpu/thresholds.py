@@ -1,0 +1,255 @@
+"""Pass-threshold estimation: read sampling + percentile of call confidences.
+
+Mirrors the reference pipeline (reads_sampler/mod.rs:30
+get_sampled_read_ids_to_base_mod_probs -> read_ids_to_base_mod_probs.rs:67
+mle_probs_per_base -> thresholds.rs:82 calc_thresholds_per_base):
+
+1. Sample reads (count quota proportional to per-contig mapped counts from
+   the index, or per-read Bernoulli for --sampling-frac; unmapped tail when
+   not only_mapped).
+2. Per read, per (threshold base = tag base, complemented for '-' mod
+   strand), per position: the argmax call confidence — the max mod
+   probability if it strictly exceeds the canonical probability, else the
+   canonical probability (mod_bam.rs:489 argmax_base_mod_call).
+3. Per base: sort + linear-interpolated percentile (thresholds.rs:17), all
+   arithmetic in f32 to match the reference exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .errors import ModKitError
+from .modcodes import DNA_BASES, DNA_IDX_COMPLEMENT, DNA_BASE_IDX
+from .modtags import decode_record
+
+
+def percentile_linear_interp(xs: np.ndarray, q: float) -> np.float32:
+    """Sorted linear-interpolated percentile (thresholds.rs:17), f32 math."""
+    n = len(xs)
+    if n < 2:
+        raise ModKitError(
+            "percentile-not-enough-datapoints",
+            f"need at least 2 data points, have {n}",
+        )
+    q = np.float32(q)
+    if q > np.float32(1.0):
+        raise ModKitError("percentile-invalid-quantile", str(q))
+    if q == np.float32(1.0):
+        return np.float32(xs[-1])
+    l = np.float32(n - 1)
+    t = l * q
+    left = int(np.floor(t))
+    right = int(np.ceil(t))
+    g = t - np.float32(np.floor(t))
+    y0 = np.float32(xs[left])
+    y1 = np.float32(xs[right])
+    return y0 * (np.float32(1.0) - g) + y1 * g
+
+
+class Percentiles:
+    """thresholds.rs:40 — percentile table for sample-probs."""
+
+    def __init__(self, probs: np.ndarray, qs: list[float]):
+        s = np.sort(probs.astype(np.float32))
+        self.qs = [(q, float(percentile_linear_interp(s, q))) for q in qs]
+
+    def report(self) -> str:
+        out = ["q\tp"]
+        for q, p in self.qs:
+            out.append(f"{q:.2f}\t{p:.3f}")
+        return "\n".join(out) + "\n"
+
+
+def read_confidences(
+    rec,
+    only_mapped: bool,
+    collapse=None,
+    edge_filter=None,
+) -> dict[int, np.ndarray]:
+    """Per threshold-base argmax confidences for one read.
+
+    Returns {base_idx: f32 array}. Raises ModKitError on undecodable tags.
+    """
+    from .collapse import apply_collapse
+
+    info = decode_record(rec)
+    if only_mapped:
+        qf, _ = rec.aligned_pairs_forward()
+        qf_sorted = np.sort(qf)
+    out: dict[int, list] = {}
+    for base, strand, g in info.iter_groups():
+        positions, probs = g.positions, g.probs
+        if edge_filter is not None:
+            if not edge_filter.read_can_be_trimmed(rec.l_seq):
+                continue
+            keep = edge_filter.keep_mask(positions, rec.l_seq)
+            if not keep.any():
+                continue
+            positions, probs = positions[keep], probs[keep]
+        if only_mapped:
+            idx = np.searchsorted(qf_sorted, positions)
+            inb = idx < len(qf_sorted)
+            idxc = np.clip(idx, 0, max(len(qf_sorted) - 1, 0))
+            keep = inb & (qf_sorted[idxc] == positions)
+            if not keep.any():
+                continue
+            positions, probs = positions[keep], probs[keep]
+        codes = list(g.codes)
+        if collapse:
+            for mth in collapse:
+                codes, probs = apply_collapse(codes, probs, mth)
+        live = np.where(probs >= 0, probs, np.float32(0))
+        canon = np.float32(1.0) - live.sum(axis=1, dtype=np.float32)
+        best_mod = (
+            np.where(probs >= 0, probs, -np.inf).max(axis=1)
+            if probs.shape[1]
+            else np.full(len(positions), -np.inf, dtype=np.float32)
+        )
+        conf = np.where(best_mod > canon, best_mod, canon).astype(np.float32)
+        b = DNA_BASE_IDX[base]
+        tb = b if strand == 0 else DNA_IDX_COMPLEMENT[b]
+        out.setdefault(tb, []).append(conf)
+    return {b: np.concatenate(v) for b, v in out.items()}
+
+
+def sample_read_confidences(
+    reader,
+    num_reads: int | None,
+    sample_frac: float | None,
+    seed: int | None,
+    include_unmapped: bool,
+    region: str | None = None,
+    collapse=None,
+    edge_filter=None,
+    force_allow: bool = False,
+    interval_size: int = 1_000_000,
+) -> tuple[dict[int, np.ndarray], int]:
+    """Sample reads and collect per-base confidences. Returns (confs, n_reads).
+
+    Count-quota mode allocates per-contig quotas proportional to index
+    mapped-read counts (sampling_schedule.rs:171 from_num_reads); fraction
+    mode is per-read Bernoulli with optional seed (record_sampler.rs:29).
+    """
+    only_mapped = not include_unmapped
+    rng = np.random.default_rng(seed) if seed is not None else np.random.default_rng()
+    confs: dict[int, list] = {}
+    seen: set[str] = set()
+
+    def use_record(rec) -> bool:
+        if rec.is_not_primary:
+            return False
+        if only_mapped and rec.is_unmapped:
+            return False
+        if rec.name in seen:
+            return False
+        return True
+
+    def add(rec) -> bool:
+        try:
+            per_base = read_confidences(
+                rec, only_mapped and not rec.is_unmapped, collapse, edge_filter
+            )
+        except ModKitError:
+            return False
+        if not per_base:
+            return False
+        seen.add(rec.name)
+        for b, v in per_base.items():
+            confs.setdefault(b, []).append(v)
+        return True
+
+    # mapped phase
+    if region is not None:
+        from .pileup.runner import parse_region
+
+        tid, start, end = parse_region(region, reader.header)
+        spans = [(tid, start, end)]
+    else:
+        spans = [
+            (tid, 0, r.length) for tid, r in enumerate(reader.header.refs)
+        ]
+
+    if reader.has_index():
+        stats = reader.idxstats()
+        mapped_per_tid = {tid: stats[tid][2] for tid, _, _ in spans}
+        total_mapped = sum(mapped_per_tid.values())
+        for tid, start, end in spans:
+            if mapped_per_tid.get(tid, 0) == 0:
+                continue
+            if num_reads is not None and total_mapped > 0:
+                quota = int(np.ceil(
+                    num_reads * mapped_per_tid[tid] / total_mapped
+                ))
+            else:
+                quota = None
+            taken = 0
+            for rec in reader.fetch(tid, start, end):
+                if quota is not None and taken >= quota:
+                    break
+                if not use_record(rec):
+                    continue
+                if sample_frac is not None and sample_frac < 1.0:
+                    if rng.random() >= sample_frac:
+                        continue
+                if add(rec):
+                    taken += 1
+        # unmapped tail (reads_sampler/mod.rs:89-125)
+        if not only_mapped and (reader.n_no_coor() > 0 or len(seen) < 100):
+            quota = (
+                max(num_reads - len(seen), 0) if num_reads is not None else None
+            )
+            taken = 0
+            for rec in reader.fetch_unmapped():
+                if quota is not None and taken >= quota:
+                    break
+                if rec.is_not_primary:
+                    continue
+                if sample_frac is not None and sample_frac < 1.0:
+                    if rng.random() >= sample_frac:
+                        continue
+                if add(rec):
+                    taken += 1
+    else:
+        # serial path
+        taken = 0
+        for rec in reader.records():
+            if num_reads is not None and taken >= num_reads:
+                break
+            if not use_record(rec):
+                continue
+            if sample_frac is not None and sample_frac < 1.0:
+                if rng.random() >= sample_frac:
+                    continue
+            if add(rec):
+                taken += 1
+
+    return {b: np.concatenate(v) for b, v in confs.items()}, len(seen)
+
+
+def estimate_thresholds(
+    reader,
+    num_reads: int | None = 10042,
+    sample_frac: float | None = None,
+    seed: int | None = None,
+    include_unmapped: bool = False,
+    filter_percentile: float = 0.1,
+    region: str | None = None,
+    collapse=None,
+    edge_filter=None,
+    force_allow: bool = False,
+    interval_size: int = 1_000_000,
+) -> dict[str, float]:
+    """Per-base thresholds = filter-percentile of sampled call confidences
+    (thresholds.rs:82 calc_thresholds_per_base)."""
+    if sample_frac is not None:
+        num_reads = None
+    confs, _ = sample_read_confidences(
+        reader, num_reads, sample_frac, seed, include_unmapped, region,
+        collapse, edge_filter, force_allow, interval_size,
+    )
+    out = {}
+    for b, v in confs.items():
+        s = np.sort(v.astype(np.float32))
+        out[DNA_BASES[b]] = float(percentile_linear_interp(s, filter_percentile))
+    return out

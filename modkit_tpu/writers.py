@@ -1,0 +1,141 @@
+"""Output writers: bedMethyl, bedGraph, TSV.
+
+Byte-compatible with the reference formats (writers.rs:43-183 BedMethylWriter,
+:264 BedGraphWriter). Column layout (18 columns):
+
+chrom start end name score strand thickStart thickEnd color
+valid_cov percent_mod n_mod n_canonical n_other_mod n_delete n_fail n_diff n_nocall
+
+The first 9 separators are always tabs; the rest are tabs by default or
+spaces with --mixed-delim (writers.rs:94-101). percent_modified is formatted
+``{:.2}`` of the f32 ``fraction * 100`` — both Rust and Python round the
+exact binary value half-to-even, so formatting the f32 promotion matches.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+HEADER_FIELDS = (
+    "chrom", "chromStart", "chromEnd", "name", "score", "strand",
+    "thickStart", "thickEnd", "color", "valid_coverage", "percent_modified",
+    "count_modified", "count_canonical", "count_other_mod", "count_delete",
+    "count_fail", "count_diff", "count_nocall",
+)
+
+
+def format_percent(fraction: float) -> str:
+    """{:.2} of f32 fraction*100 (writers.rs:140)."""
+    v = np.float32(fraction) * np.float32(100.0)
+    return format(float(v), ".2f")
+
+
+class BedMethylWriter:
+    def __init__(self, out, mixed_delimiters: bool = False, with_header: bool = False):
+        if isinstance(out, (str, os.PathLike)):
+            self._fh = open(out, "w")
+            self._owns = True
+        else:
+            self._fh = out
+            self._owns = False
+        self.space = " " if mixed_delimiters else "\t"
+        self.rows_written = 0
+        if with_header:
+            self._fh.write("\t".join(HEADER_FIELDS) + "\n")
+
+    def write_rows(self, chrom: str, rows, motif_labels=()):
+        tab, sp = "\t", self.space
+        raw_code_only = len(motif_labels) < 2
+        buf = []
+        for r in rows:
+            if raw_code_only or r.motif_idx is None:
+                name = str(r.mod_code)
+            else:
+                try:
+                    name = f"{r.mod_code},{motif_labels[r.motif_idx]}"
+                except IndexError:
+                    name = str(r.mod_code)
+            buf.append(
+                f"{chrom}{tab}{r.pos}{tab}{r.pos + 1}{tab}{name}{tab}"
+                f"{r.valid_coverage}{tab}{r.strand}{tab}{r.pos}{tab}"
+                f"{r.pos + 1}{tab}255,0,0{tab}"
+                f"{r.valid_coverage}{sp}{format_percent(r.fraction_modified)}{sp}"
+                f"{r.n_modified}{sp}{r.n_canonical}{sp}{r.n_other_modified}{sp}"
+                f"{r.n_delete}{sp}{r.n_filtered}{sp}{r.n_diff}{sp}{r.n_nocall}\n"
+            )
+            self.rows_written += 1
+        self._fh.write("".join(buf))
+
+    def close(self):
+        self._fh.flush()
+        if self._owns:
+            self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BedGraphWriter:
+    """Per-(mod code, strand) bedGraph files in a directory (writers.rs:264).
+
+    Rows: chrom start end fraction_modified valid_coverage
+    """
+
+    def __init__(self, out_dir: str, prefix: str | None = None, partitioned: bool = False):
+        self.out_dir = out_dir
+        self.prefix = prefix
+        os.makedirs(out_dir, exist_ok=True)
+        self._files: dict = {}
+
+    def _fh_for(self, key: tuple):
+        fh = self._files.get(key)
+        if fh is None:
+            code, strand = key
+            strand_name = {"+": "positive", "-": "negative", ".": "combined"}[strand]
+            if self.prefix:
+                name = f"{self.prefix}_{code}_{strand_name}.bedgraph"
+            else:
+                name = f"{code}_{strand_name}.bedgraph"
+            fh = open(os.path.join(self.out_dir, name), "w")
+            self._files[key] = fh
+        return fh
+
+    def write_rows(self, chrom: str, rows, motif_labels=()):
+        for r in rows:
+            label = str(r.mod_code)
+            if len(motif_labels) >= 2 and r.motif_idx is not None:
+                label = f"{label}_{motif_labels[r.motif_idx]}"
+            fh = self._fh_for((label, r.strand))
+            frac = float(np.float32(r.fraction_modified))
+            fh.write(
+                f"{chrom}\t{r.pos}\t{r.pos + 1}\t{frac}\t{r.valid_coverage}\n"
+            )
+
+    def close(self):
+        for fh in self._files.values():
+            fh.close()
+
+
+class TsvWriter:
+    def __init__(self, out, header: str | None = None):
+        if isinstance(out, (str, os.PathLike)):
+            self._fh = open(out, "w")
+            self._owns = True
+        else:
+            self._fh = out
+            self._owns = False
+        if header:
+            self._fh.write(header if header.endswith("\n") else header + "\n")
+
+    def write(self, line: str):
+        self._fh.write(line)
+
+    def close(self):
+        self._fh.flush()
+        if self._owns:
+            self._fh.close()

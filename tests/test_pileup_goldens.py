@@ -1,0 +1,90 @@
+"""Golden-file conformance tests for pileup vs the reference's expected
+outputs (the same fixtures reference tests/test_pileup.rs exercises)."""
+
+import os
+
+import pytest
+
+from modkit_tpu.pileup.runner import PileupConfig, run_pileup
+
+
+def _diff(out_path: str, expected_path: str):
+    with open(out_path) as fh:
+        got = fh.read()
+    with open(expected_path) as fh:
+        want = fh.read()
+    if got != want:
+        got_lines = got.splitlines()
+        want_lines = want.splitlines()
+        msgs = [f"line counts: got {len(got_lines)} want {len(want_lines)}"]
+        for i, (g, w) in enumerate(zip(got_lines, want_lines)):
+            if g != w:
+                msgs.append(f"first diff at line {i + 1}:\n  got:  {g}\n  want: {w}")
+                break
+        raise AssertionError("\n".join(msgs))
+
+
+def test_pileup_no_filt(resources, tmp_path):
+    # reference tests/test_pileup.rs:22 test_pileup_no_filt
+    out = str(tmp_path / "nofilt.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, "bc_anchored_10_reads.sorted.bam"),
+            out=out,
+            interval_size=25,
+            no_filtering=True,
+        )
+    )
+    _diff(out, os.path.join(resources, "modbam.modpileup_nofilt.methyl.bed"))
+
+
+def test_pileup_with_filt(resources, tmp_path):
+    # reference tests/test_pileup.rs:43 test_pileup_with_filt
+    out = str(tmp_path / "filt025.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, "bc_anchored_10_reads.sorted.bam"),
+            out=out,
+            interval_size=25,
+            sample_frac=1.0,
+            filter_percentile=0.25,
+            seed=42,
+            include_unmapped=True,
+        )
+    )
+    _diff(out, os.path.join(resources, "modbam.modpileup_filt025.methyl.bed"))
+
+
+def test_pileup_combine_mods(resources, tmp_path):
+    # reference tests/test_pileup.rs:70 test_pileup_combine
+    out = str(tmp_path / "combined.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, "bc_anchored_10_reads.sorted.bam"),
+            out=out,
+            no_filtering=True,
+            combine_mods=True,
+        )
+    )
+    _diff(out, os.path.join(resources, "modbam.modpileup_combined.methyl.bed"))
+
+
+def test_pileup_ignore_h(resources, tmp_path):
+    # reference tests/test_pileup.rs:91 test_pileup_collapse: pileup with
+    # --ignore h must equal pileup over an adjust-mods --ignore h rewrite.
+    from modkit_tpu.collapse import CollapseMethod
+
+    out = str(tmp_path / "ignore_h.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, "bc_anchored_10_reads.sorted.bam"),
+            out=out,
+            interval_size=25,
+            no_filtering=True,
+            collapse=[CollapseMethod.parse("norm", "h")],
+        )
+    )
+    # cross-check: only 'm' rows remain
+    with open(out) as fh:
+        for line in fh:
+            assert line.split("\t")[3] == "m"
