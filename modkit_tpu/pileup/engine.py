@@ -94,9 +94,14 @@ class TileProcessor:
         return ev
 
     def process_tile(
-        self, reader, tid: int, start: int, end: int
+        self, reader, tid: int, start: int, end: int, focus=None
     ) -> list[tuple[int, list[PileupRow]]]:
-        """Return [(position, rows)] sorted by position for one tile."""
+        """Return [(position, rows)] sorted by position for one tile.
+
+        ``focus`` (motifs.FocusPositions or a rule array wrapper) restricts
+        counted columns to focus positions with strand-rule routing
+        (pileup/mod.rs:580-603 PileupIter + FeatureVector strand rules).
+        """
         reads = []
         for rec in reader.fetch(tid, start, end):
             if rec.is_not_primary or rec.l_seq == 0:
@@ -118,10 +123,18 @@ class TileProcessor:
 
         # assemble event arrays clipped to the tile
         rpos_l, strand_l, base_l, type_l, probs_l = [], [], [], [], []
+        focus_rule = focus.rule if focus is not None else None
         for ev in reads:
             if len(ev.rpos) == 0:
                 continue
             sel = (ev.rpos >= start) & (ev.rpos < end)
+            if focus_rule is not None and sel.any():
+                li = (ev.rpos - start)[sel]
+                r = focus_rule[li]
+                keep = (r == 2) | (r == ev.out_strand[sel])
+                s2 = np.zeros(len(ev.rpos), dtype=bool)
+                s2[np.flatnonzero(sel)[keep]] = True
+                sel = s2
             if not sel.any():
                 continue
             rpos_l.append(ev.rpos[sel] - start)
@@ -171,10 +184,14 @@ class TileProcessor:
                         for c in cols:
                             observed[a2:b2, sk, tb, c] = True
 
-        return decode_counts(
+        decoded = decode_counts(
             counts, observed, vocab, start,
             combine_mods=self.opts.combine_mods,
+            focus=focus,
         )
+        if self.opts.combine_strands and focus is not None:
+            decoded = combine_strand_rows(decoded, focus)
+        return decoded
 
 
 def _numpy_counts(
@@ -214,6 +231,7 @@ def decode_counts(
     vocab: list,
     tile_start: int,
     combine_mods: bool = False,
+    focus=None,
 ) -> list[tuple[int, list[PileupRow]]]:
     """Count tensor -> bedMethyl rows (pileup/mod.rs:412 FeatureVector::decode).
 
@@ -244,9 +262,19 @@ def decode_counts(
     out = []
     order_key = [mod_code_sort_key(c) for c in vocab]
     for pi in active:
+        abs_pos = tile_start + int(pi)
         rows: list[PileupRow] = []
         for s in (0, 1):
             strand_ch = "+" if s == 0 else "-"
+            if focus is not None:
+                ids = (
+                    focus.pos_motif_ids.get(abs_pos)
+                    if s == 0
+                    else focus.neg_motif_ids.get(abs_pos)
+                )
+                id_list = ids if ids else [None]
+            else:
+                id_list = [None]
             n_del = int(counts[pi, s, 0])
             n_filt = int(counts[pi, s, 1])
             for b in range(4):
@@ -262,14 +290,15 @@ def decode_counts(
                 if combine_mods:
                     n_mod_total = valid - n_can
                     frac = np.float32(n_mod_total) / np.float32(valid)
-                    rows.append(
-                        PileupRow(
-                            tile_start + int(pi), strand_ch,
-                            any_mod_code(DNA_BASES[b]), valid, float(frac),
-                            n_mod_total, n_can, 0, n_del, n_filt, n_diff,
-                            n_nocall,
+                    for idx in id_list:
+                        rows.append(
+                            PileupRow(
+                                abs_pos, strand_ch,
+                                any_mod_code(DNA_BASES[b]), valid, float(frac),
+                                n_mod_total, n_can, 0, n_del, n_filt, n_diff,
+                                n_nocall, idx,
+                            )
                         )
-                    )
                 else:
                     for j in range(m):
                         if not observed[pi, s, b, j]:
@@ -277,16 +306,63 @@ def decode_counts(
                         n_mod = int(mods_nd[pi, s, b, j])
                         n_other = int(mods_nd[pi, s, b].sum()) - n_mod
                         frac = np.float32(n_mod) / np.float32(valid)
-                        rows.append(
-                            PileupRow(
-                                tile_start + int(pi), strand_ch, vocab[j],
-                                valid, float(frac), n_mod, n_can, n_other,
-                                n_del, n_filt, n_diff, n_nocall,
+                        for idx in id_list:
+                            rows.append(
+                                PileupRow(
+                                    abs_pos, strand_ch, vocab[j],
+                                    valid, float(frac), n_mod, n_can, n_other,
+                                    n_del, n_filt, n_diff, n_nocall, idx,
+                                )
                             )
-                        )
         rows.sort(
             key=lambda r: (0 if r.strand == "+" else 1, mod_code_sort_key(r.mod_code))
         )
         if rows:
-            out.append((tile_start + int(pi), rows))
+            out.append((abs_pos, rows))
     return out
+
+
+def combine_strand_rows(
+    decoded: list[tuple[int, list[PileupRow]]], focus
+) -> list[tuple[int, list[PileupRow]]]:
+    """Merge +/- rows of palindromic motif pairs into strand '.' rows at the
+    positive focus position (pileup/mod.rs:469 combine_strand_features)."""
+    by_pos = dict(decoded)
+    out: dict[int, list[PileupRow]] = {}
+    for ppos in sorted(focus.positive_motifs):
+        for motif, idx in focus.positive_motifs[ppos]:
+            npos = motif.negative_strand_position(ppos)
+            if npos is None:
+                continue
+            pos_rows = [
+                r for r in by_pos.get(ppos, [])
+                if r.strand == "+" and r.motif_idx == idx
+            ]
+            neg_rows = [
+                r for r in by_pos.get(npos, [])
+                if r.strand == "-" and r.motif_idx == idx
+            ]
+            groups: dict = {}
+            for r in pos_rows + neg_rows:
+                groups.setdefault(r.mod_code, []).append(r)
+            combined = []
+            for code in sorted(groups, key=mod_code_sort_key):
+                rs = groups[code]
+                valid = sum(r.valid_coverage for r in rs)
+                n_mod = sum(r.n_modified for r in rs)
+                frac = np.float32(n_mod) / np.float32(valid) if valid else 0.0
+                combined.append(
+                    PileupRow(
+                        ppos, ".", code, valid, float(frac), n_mod,
+                        sum(r.n_canonical for r in rs),
+                        sum(r.n_other_modified for r in rs),
+                        sum(r.n_delete for r in rs),
+                        sum(r.n_filtered for r in rs),
+                        sum(r.n_diff for r in rs),
+                        sum(r.n_nocall for r in rs),
+                        idx,
+                    )
+                )
+            if combined:
+                out.setdefault(ppos, []).extend(combined)
+    return sorted(out.items())

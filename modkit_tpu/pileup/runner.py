@@ -42,6 +42,14 @@ class PileupConfig:
     prefix: str | None = None
     use_device: bool = True
     sampling_interval_size: int = 1_000_000
+    # motif / reference options
+    reference_fasta: str | None = None
+    motifs: list = field(default_factory=list)  # raw ["CG", "0", ...]
+    cpg: bool = False
+    combine_strands: bool = False
+    preset: str | None = None  # "traditional"
+    include_bed: str | None = None  # --include-positions
+    with_motif_labels_threshold: int = 2
 
 
 def parse_region(region: str, header) -> tuple[int, int, int]:
@@ -60,11 +68,67 @@ def parse_region(region: str, header) -> tuple[int, int, int]:
     return tid, start, end
 
 
+def resolve_preset(cfg: PileupConfig) -> PileupConfig:
+    """Apply the 'traditional' preset: CpG motif, --combine-strands, and
+    ReDistribute-collapse of 5hmC (pileup/subcommand.rs:484-523)."""
+    if cfg.preset is None:
+        return cfg
+    if cfg.preset != "traditional":
+        raise ValueError(f"unknown preset {cfg.preset!r}")
+    if cfg.motifs:
+        raise ValueError("cannot use presets and motifs together")
+    from ..collapse import CollapseMethod
+    from ..modcodes import HYDROXY_METHYL_CYTOSINE
+
+    cfg.cpg = True
+    cfg.combine_strands = True
+    cfg.collapse = [
+        CollapseMethod("dist", (HYDROXY_METHYL_CYTOSINE,))
+    ]
+    return cfg
+
+
 def run_pileup(cfg: PileupConfig) -> dict:
+    from ..motifs import (
+        parse_motifs, scan_focus_positions, scan_focus_positions_combine,
+    )
+    from ..position_filter import StrandedPositionFilter
+
+    cfg = resolve_preset(cfg)
     reader = BamReader(cfg.in_bam)
     header = reader.header
 
-    caller = resolve_caller(cfg, reader)
+    if cfg.combine_strands and not (cfg.cpg or cfg.motifs):
+        raise ValueError(
+            "need to specify either --motif or --cpg to combine strands"
+        )
+
+    motifs = (
+        parse_motifs(cfg.motifs, cfg.cpg) if (cfg.motifs or cfg.cpg) else None
+    )
+    if motifs is not None:
+        if cfg.reference_fasta is None:
+            raise ValueError(
+                "reference fasta is required for using --motif or --cpg"
+            )
+        if cfg.combine_strands and any(not m.is_palindrome for m in motifs):
+            raise ValueError(
+                "cannot combine strands with a motif that is not a palindrome"
+            )
+    fasta = None
+    if motifs is not None:
+        from ..io.fasta import FastaReader
+
+        fasta = FastaReader(cfg.reference_fasta)
+
+    position_filter = None
+    if cfg.include_bed is not None:
+        chrom_to_tid = dict(header.name_to_tid)
+        position_filter = StrandedPositionFilter.from_bed_file(
+            cfg.include_bed, chrom_to_tid
+        )
+
+    caller = resolve_caller(cfg, reader, position_filter)
 
     opts = PileupOptions(
         combine_mods=cfg.combine_mods,
@@ -73,9 +137,11 @@ def run_pileup(cfg: PileupConfig) -> dict:
         force_allow=cfg.force_allow,
         max_depth=cfg.max_depth,
         use_device=cfg.use_device,
+        combine_strands=cfg.combine_strands,
     )
     proc = TileProcessor(caller, opts)
 
+    motif_labels = [m.label() for m in motifs] if motifs else []
     if cfg.bedgraph:
         writer = BedGraphWriter(cfg.out, cfg.prefix)
     elif cfg.out in ("-", "stdout"):
@@ -83,20 +149,52 @@ def run_pileup(cfg: PileupConfig) -> dict:
     else:
         writer = BedMethylWriter(cfg.out, cfg.mixed_delimiters, cfg.with_header)
 
-    targets = list(range(len(header.refs)))
     if cfg.region is not None:
         tid, rstart, rend = parse_region(cfg.region, header)
         spans = [(tid, rstart, rend)]
     else:
-        spans = [(tid, 0, header.refs[tid].length) for tid in targets]
+        spans = [
+            (tid, 0, header.refs[tid].length)
+            for tid in range(len(header.refs))
+        ]
+    if position_filter is not None:
+        spans = position_filter.optimize_spans(spans)
 
     n_rows = 0
     for tid, rstart, rend in spans:
-        for start in range(rstart, rend, cfg.interval_size):
+        chrom = header.tid2name(tid)
+        start = rstart
+        while start < rend:
             end = min(start + cfg.interval_size, rend)
-            for _pos, rows in proc.process_tile(reader, tid, start, end):
-                writer.write_rows(header.tid2name(tid), rows)
-                n_rows += len(rows)
+            focus = None
+            if motifs is not None:
+                if cfg.combine_strands:
+                    focus, end = scan_focus_positions_combine(
+                        motifs, fasta, chrom, tid, rend, start, end,
+                        position_filter,
+                    )
+                    if end <= start:
+                        end = min(start + cfg.interval_size, rend)
+                        focus = None
+                else:
+                    focus = scan_focus_positions(
+                        motifs, fasta, chrom, start, end, position_filter, tid
+                    )
+            elif position_filter is not None:
+                from ..motifs import FocusPositions
+
+                focus = FocusPositions(
+                    start,
+                    position_filter.rule_array(tid, start, end),
+                    {}, {}, {},
+                )
+            if focus is None or (focus.rule >= 0).any():
+                for _pos, rows in proc.process_tile(
+                    reader, tid, start, end, focus
+                ):
+                    writer.write_rows(chrom, rows, motif_labels)
+                    n_rows += len(rows)
+            start = end
     writer.close()
     return dict(
         rows=n_rows,
@@ -111,7 +209,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
     )
 
 
-def resolve_caller(cfg: PileupConfig, reader: BamReader) -> ThresholdCaller:
+def resolve_caller(
+    cfg: PileupConfig, reader: BamReader, position_filter=None
+) -> ThresholdCaller:
     if cfg.no_filtering:
         return ThresholdCaller.passthrough()
     per_mod = dict(cfg.mod_thresholds or {})
@@ -135,5 +235,6 @@ def resolve_caller(cfg: PileupConfig, reader: BamReader) -> ThresholdCaller:
         edge_filter=cfg.edge_filter,
         force_allow=cfg.force_allow,
         interval_size=cfg.sampling_interval_size,
+        position_filter=position_filter,
     )
     return ThresholdCaller(per_base, per_mod, 0.0)

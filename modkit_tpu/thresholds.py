@@ -66,18 +66,24 @@ def read_confidences(
     only_mapped: bool,
     collapse=None,
     edge_filter=None,
+    position_filter=None,
 ) -> dict[int, np.ndarray]:
     """Per threshold-base argmax confidences for one read.
 
     Returns {base_idx: f32 array}. Raises ModKitError on undecodable tags.
+    ``position_filter`` keeps only positions whose reference position lies
+    in the BED filter on the (mod_strand XOR is_reverse) strand
+    (read_ids_to_base_mod_probs.rs:966 filter_positions).
     """
     from .collapse import apply_collapse
 
     info = decode_record(rec)
-    if only_mapped:
-        qf, _ = rec.aligned_pairs_forward()
-        qf_sorted = np.sort(qf)
+    if only_mapped or position_filter is not None:
+        qf, rp = rec.aligned_pairs_forward()
+        order = np.argsort(qf, kind="stable")
+        qf_sorted, rp_sorted = qf[order], rp[order]
     out: dict[int, list] = {}
+    aln_rev = 1 if rec.is_reverse else 0
     for base, strand, g in info.iter_groups():
         positions, probs = g.positions, g.probs
         if edge_filter is not None:
@@ -87,11 +93,24 @@ def read_confidences(
             if not keep.any():
                 continue
             positions, probs = positions[keep], probs[keep]
-        if only_mapped:
+        if only_mapped or position_filter is not None:
             idx = np.searchsorted(qf_sorted, positions)
             inb = idx < len(qf_sorted)
             idxc = np.clip(idx, 0, max(len(qf_sorted) - 1, 0))
-            keep = inb & (qf_sorted[idxc] == positions)
+            aligned = inb & (qf_sorted[idxc] == positions)
+            if position_filter is not None:
+                ref_strand = aln_rev ^ strand
+                ref_pos = np.where(aligned, rp_sorted[idxc], -1)
+                in_bed = np.zeros(len(positions), dtype=bool)
+                if aligned.any():
+                    in_bed[aligned] = position_filter.contains(
+                        rec.ref_id, ref_pos[aligned], ref_strand
+                    )
+                # unaligned positions fail the position filter
+                # (filter_positions unwrap_or(false))
+                keep = aligned & in_bed
+            else:
+                keep = aligned
             if not keep.any():
                 continue
             positions, probs = positions[keep], probs[keep]
@@ -124,6 +143,7 @@ def sample_read_confidences(
     edge_filter=None,
     force_allow: bool = False,
     interval_size: int = 1_000_000,
+    position_filter=None,
 ) -> tuple[dict[int, np.ndarray], int]:
     """Sample reads and collect per-base confidences. Returns (confs, n_reads).
 
@@ -148,7 +168,9 @@ def sample_read_confidences(
     def add(rec) -> bool:
         try:
             per_base = read_confidences(
-                rec, only_mapped and not rec.is_unmapped, collapse, edge_filter
+                rec, only_mapped and not rec.is_unmapped, collapse,
+                edge_filter,
+                position_filter if not rec.is_unmapped else None,
             )
         except ModKitError:
             return False
@@ -239,6 +261,7 @@ def estimate_thresholds(
     edge_filter=None,
     force_allow: bool = False,
     interval_size: int = 1_000_000,
+    position_filter=None,
 ) -> dict[str, float]:
     """Per-base thresholds = filter-percentile of sampled call confidences
     (thresholds.rs:82 calc_thresholds_per_base)."""
@@ -247,6 +270,7 @@ def estimate_thresholds(
     confs, _ = sample_read_confidences(
         reader, num_reads, sample_frac, seed, include_unmapped, region,
         collapse, edge_filter, force_allow, interval_size,
+        position_filter,
     )
     out = {}
     for b, v in confs.items():
