@@ -1,0 +1,335 @@
+"""Command-line interface.
+
+Mirrors the reference's 18-subcommand surface (commands.rs:58-135):
+pileup, adjust-mods, update-tags, sample-probs, summary, call-mods,
+extract, repair, validate, pileup-hemi, dmr, find-motifs, motif, entropy,
+localize, stats, modbam, bedmethyl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_common_sampling(p):
+    p.add_argument("-n", "--num-reads", type=int, default=10042)
+    p.add_argument("-f", "--sampling-frac", type=float, default=None)
+    p.add_argument("--no-sampling", action="store_true")
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument(
+        "--sampling-interval-size", type=int, default=1_000_000
+    )
+
+
+def _add_threshold_args(p):
+    p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
+    p.add_argument("--filter-threshold", action="append", default=None)
+    p.add_argument("--mod-thresholds", action="append", default=None)
+    p.add_argument("--no-filtering", action="store_true")
+
+
+def _add_logging(p):
+    p.add_argument("--log-filepath", default=None)
+    p.add_argument("--suppress-progress", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=4)
+
+
+def parse_filter_thresholds(raw_list):
+    """--filter-threshold [A:0.8 | 0.75] repeated (command_utils.rs:17)."""
+    if not raw_list:
+        return None
+    out = {}
+    for raw in raw_list:
+        if ":" in raw:
+            base, v = raw.split(":", 1)
+            if base not in "ACGT" or len(base) != 1:
+                raise SystemExit(f"invalid per-base threshold {raw!r}")
+            out[base] = float(v)
+        else:
+            out["default"] = float(raw)
+    return out
+
+
+def parse_mod_thresholds(raw_list):
+    if not raw_list:
+        return None
+    from .modcodes import parse_mod_code
+
+    out = {}
+    for raw in raw_list:
+        if ":" not in raw:
+            raise SystemExit(f"invalid mod threshold {raw!r}, use code:value")
+        code, v = raw.rsplit(":", 1)
+        out[parse_mod_code(code)] = float(v)
+    return out
+
+
+def parse_edge_filter(raw: str, invert: bool):
+    from .pileup.events import EdgeFilter
+
+    if "," in raw:
+        a, b = raw.split(",")
+        return EdgeFilter(int(a), int(b), invert)
+    return EdgeFilter(int(raw), int(raw), invert)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="modkit-tpu",
+        description="TPU-native modified-base analysis (bedMethyl pileup and "
+        "friends), capability-compatible with modkit",
+    )
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    # ---- pileup ----
+    p = sub.add_parser("pileup", help="modBAM -> per-position bedMethyl table")
+    p.add_argument("in_bam")
+    p.add_argument("out_bed")
+    p.add_argument("-i", "--interval-size", type=int, default=100_000)
+    p.add_argument("--chunk-size", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=8000)
+    p.add_argument("--region", default=None)
+    p.add_argument("--include-bed", "--include-positions", dest="include_bed", default=None)
+    p.add_argument("--include-unmapped", action="store_true")
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--combine-mods", action="store_true")
+    p.add_argument("--combine-strands", action="store_true")
+    p.add_argument("--cpg", action="store_true")
+    p.add_argument("--motif", nargs=2, action="append", default=None)
+    p.add_argument("--preset", choices=["traditional"], default=None)
+    p.add_argument("-r", "--ref", "--reference-fasta", dest="reference_fasta", default=None)
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--force-allow-implicit", action="store_true")
+    p.add_argument("--only-tabs", action="store_true")  # deprecated no-op
+    p.add_argument("--mixed-delim", "--mixed-delimiters", dest="mixed_delimiters", action="store_true")
+    p.add_argument("--bedgraph", action="store_true")
+    p.add_argument("--prefix", default=None)
+    p.add_argument("--partition-tag", action="append", default=None)
+    p.add_argument("--header", "--with-header", dest="with_header", action="store_true")
+    _add_common_sampling(p)
+    _add_threshold_args(p)
+    _add_logging(p)
+    p.set_defaults(func=cmd_pileup)
+
+    # ---- summary ----
+    p = sub.add_parser("summary", help="summarize mod calls in a modBAM")
+    p.add_argument("in_bam")
+    p.add_argument("--region", default=None)
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--tsv", dest="tsv_format", action="store_true")
+    p.add_argument("--table", dest="table_format", action="store_true")
+    p.add_argument("--only-mapped", action="store_true")
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--include-bed", default=None)
+    _add_common_sampling(p)
+    _add_threshold_args(p)
+    _add_logging(p)
+    p.set_defaults(func=cmd_summary)
+
+    # ---- sample-probs ----
+    p = sub.add_parser(
+        "sample-probs", help="percentiles of base-mod call probabilities"
+    )
+    p.add_argument("in_bam")
+    p.add_argument("--region", default=None)
+    p.add_argument("--percentiles", default="0.1,0.5,0.9")
+    p.add_argument("-o", "--out-dir", default=None)
+    p.add_argument("--prefix", default=None)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--hist", "--histogram", dest="histogram", action="store_true")
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--only-mapped", action="store_true")
+    p.add_argument("--include-bed", default=None)
+    _add_common_sampling(p)
+    _add_logging(p)
+    p.set_defaults(func=cmd_sample_probs)
+
+    # ---- placeholders wired as engines land ----
+    for name, helptxt in [
+        ("adjust-mods", "rewrite modBAM, collapsing/converting mod calls"),
+        ("call-mods", "rewrite modBAM with thresholded (hard) calls"),
+        ("update-tags", "update MM/ML tag styles and modes"),
+        ("extract", "read-level table of mod calls"),
+        ("repair", "project mod tags from donor onto trimmed reads"),
+        ("validate", "accuracy vs ground-truth BEDs"),
+        ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
+        ("dmr", "differential methylation scoring"),
+        ("find-motifs", "motif discovery from bedMethyl"),
+        ("motif", "motif utilities (search/refine/evaluate/bed)"),
+        ("entropy", "methylation entropy in sliding windows"),
+        ("localize", "aggregate methylation around features"),
+        ("stats", "per-region methylation statistics"),
+        ("modbam", "modBAM utilities (check-tags/sample-reads)"),
+        ("bedmethyl", "bedMethyl utilities (merge/tobigwig)"),
+    ]:
+        q = sub.add_parser(name, help=helptxt)
+        q.set_defaults(func=None, command_name=name)
+
+    return ap
+
+
+def cmd_pileup(args) -> int:
+    from .collapse import CollapseMethod
+    from .modcodes import parse_mod_code
+    from .pileup.runner import PileupConfig, run_pileup
+
+    collapse = []
+    if args.ignore:
+        collapse.append(
+            CollapseMethod("dist", (parse_mod_code(args.ignore),))
+        )
+    edge_filter = (
+        parse_edge_filter(args.edge_filter, args.invert_edge_filter)
+        if args.edge_filter
+        else None
+    )
+    motifs = [x for pair in (args.motif or []) for x in pair]
+    cfg = PileupConfig(
+        in_bam=args.in_bam,
+        out=args.out_bed,
+        interval_size=args.interval_size,
+        no_filtering=args.no_filtering,
+        filter_threshold=parse_filter_thresholds(args.filter_threshold),
+        mod_thresholds=parse_mod_thresholds(args.mod_thresholds),
+        filter_percentile=args.filter_percentile,
+        sample_frac=args.sampling_frac,
+        num_reads=args.num_reads,
+        seed=args.seed,
+        include_unmapped=args.include_unmapped,
+        region=args.region,
+        combine_mods=args.combine_mods,
+        collapse=collapse,
+        edge_filter=edge_filter,
+        force_allow=args.force_allow_implicit,
+        max_depth=args.max_depth,
+        mixed_delimiters=args.mixed_delimiters,
+        with_header=args.with_header,
+        bedgraph=args.bedgraph,
+        prefix=args.prefix,
+        reference_fasta=args.reference_fasta,
+        motifs=motifs,
+        cpg=args.cpg,
+        combine_strands=args.combine_strands,
+        preset=args.preset,
+        include_bed=args.include_bed,
+        sampling_interval_size=args.sampling_interval_size,
+    )
+    stats = run_pileup(cfg)
+    if stats["errors"]:
+        from .errors import ErrorTally
+
+        t = ErrorTally(stats["errors"])
+        print(t.format_table(), file=sys.stderr)
+    return 0
+
+
+def _sample_common(args):
+    from .collapse import CollapseMethod
+    from .io.bam import BamReader
+    from .modcodes import parse_mod_code
+    from .position_filter import StrandedPositionFilter
+    from .thresholds import sample_reads
+
+    reader = BamReader(args.in_bam)
+    collapse = []
+    if args.ignore:
+        collapse.append(CollapseMethod("dist", (parse_mod_code(args.ignore),)))
+    edge_filter = (
+        parse_edge_filter(args.edge_filter, args.invert_edge_filter)
+        if args.edge_filter
+        else None
+    )
+    position_filter = None
+    if getattr(args, "include_bed", None):
+        position_filter = StrandedPositionFilter.from_bed_file(
+            args.include_bed, dict(reader.header.name_to_tid)
+        )
+    num_reads = None if args.no_sampling else args.num_reads
+    sample_frac = None if args.no_sampling else args.sampling_frac
+    if sample_frac is not None:
+        num_reads = None
+    only_mapped = args.only_mapped or position_filter is not None
+    sampled = sample_reads(
+        reader,
+        num_reads=num_reads,
+        sample_frac=sample_frac,
+        seed=args.seed,
+        include_unmapped=not only_mapped,
+        region=args.region,
+        collapse=collapse,
+        edge_filter=edge_filter,
+        position_filter=position_filter,
+        only_mapped=only_mapped,
+    )
+    return reader, sampled, collapse
+
+
+def cmd_summary(args) -> int:
+    from .caller import ThresholdCaller
+    from .summary import (
+        render_summary_table, render_summary_tsv, summarize_sampled,
+    )
+    from .thresholds import thresholds_from_sampled
+
+    args.only_mapped = getattr(args, "only_mapped", False)
+    reader, sampled, _ = _sample_common(args)
+    ft = parse_filter_thresholds(args.filter_threshold)
+    per_mod = parse_mod_thresholds(args.mod_thresholds) or {}
+    if args.no_filtering:
+        caller = ThresholdCaller.passthrough()
+    elif ft is not None:
+        default = ft.pop("default", 0.0)
+        caller = ThresholdCaller(ft, per_mod, default)
+    else:
+        per_base = thresholds_from_sampled(sampled, args.filter_percentile)
+        caller = ThresholdCaller(per_base, per_mod, 0.0)
+    s = summarize_sampled(sampled, caller, args.region)
+    if args.tsv_format:
+        sys.stdout.write(render_summary_tsv(s))
+    else:
+        sys.stdout.write(render_summary_table(s))
+    return 0
+
+
+def cmd_sample_probs(args) -> int:
+    import os
+
+    from .summary import render_percentiles_table, sample_probs_percentiles
+
+    args.only_mapped = getattr(args, "only_mapped", False)
+    reader, sampled, _ = _sample_common(args)
+    qs = [float(x) for x in args.percentiles.split(",")]
+    per_base = sample_probs_percentiles(sampled, qs)
+    if args.out_dir:
+        os.makedirs(args.out_dir, exist_ok=True)
+        prefix = f"{args.prefix}_" if args.prefix else ""
+        out_fp = os.path.join(args.out_dir, f"{prefix}thresholds.tsv")
+        if os.path.exists(out_fp) and not args.force:
+            raise SystemExit(f"refusing to overwrite {out_fp}")
+        with open(out_fp, "w") as fh:
+            fh.write(render_percentiles_table(per_base))
+    else:
+        sys.stdout.write(render_percentiles_table(per_base))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = build_parser()
+    args = ap.parse_args(argv)
+    if args.func is None:
+        print(
+            f"subcommand {args.command_name!r} is not implemented yet in "
+            "this build",
+            file=sys.stderr,
+        )
+        return 2
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -61,19 +61,20 @@ class Percentiles:
         return "\n".join(out) + "\n"
 
 
-def read_confidences(
+def read_groups(
     rec,
     only_mapped: bool,
     collapse=None,
     edge_filter=None,
     position_filter=None,
-) -> dict[int, np.ndarray]:
-    """Per threshold-base argmax confidences for one read.
+) -> dict[int, list]:
+    """Sampled probability groups for one read, keyed by threshold base.
 
-    Returns {base_idx: f32 array}. Raises ModKitError on undecodable tags.
-    ``position_filter`` keeps only positions whose reference position lies
-    in the BED filter on the (mod_strand XOR is_reverse) strand
-    (read_ids_to_base_mod_probs.rs:966 filter_positions).
+    Returns {base_idx: [(codes, probs[n, m]), ...]}. Raises ModKitError on
+    undecodable tags. ``position_filter`` keeps only positions whose
+    reference position lies in the BED filter on the
+    (mod_strand XOR is_reverse) strand (read_ids_to_base_mod_probs.rs:966
+    filter_positions).
     """
     from .collapse import apply_collapse
 
@@ -118,21 +119,34 @@ def read_confidences(
         if collapse:
             for mth in collapse:
                 codes, probs = apply_collapse(codes, probs, mth)
+        b = DNA_BASE_IDX[base]
+        tb = b if strand == 0 else DNA_IDX_COMPLEMENT[b]
+        out.setdefault(tb, []).append((codes, probs))
+    return out
+
+
+def group_confidences(groups: list) -> np.ndarray:
+    """argmax call confidences for [(codes, probs), ...] of one base
+    (mod_bam.rs:489 argmax_base_mod_call: mod wins only if strictly greater
+    than canonical)."""
+    confs = []
+    for _codes, probs in groups:
         live = np.where(probs >= 0, probs, np.float32(0))
         canon = np.float32(1.0) - live.sum(axis=1, dtype=np.float32)
         best_mod = (
             np.where(probs >= 0, probs, -np.inf).max(axis=1)
             if probs.shape[1]
-            else np.full(len(positions), -np.inf, dtype=np.float32)
+            else np.full(len(probs), -np.inf, dtype=np.float32)
         )
-        conf = np.where(best_mod > canon, best_mod, canon).astype(np.float32)
-        b = DNA_BASE_IDX[base]
-        tb = b if strand == 0 else DNA_IDX_COMPLEMENT[b]
-        out.setdefault(tb, []).append(conf)
-    return {b: np.concatenate(v) for b, v in out.items()}
+        confs.append(
+            np.where(best_mod > canon, best_mod, canon).astype(np.float32)
+        )
+    return (
+        np.concatenate(confs) if confs else np.empty(0, dtype=np.float32)
+    )
 
 
-def sample_read_confidences(
+def sample_reads(
     reader,
     num_reads: int | None,
     sample_frac: float | None,
@@ -144,16 +158,18 @@ def sample_read_confidences(
     force_allow: bool = False,
     interval_size: int = 1_000_000,
     position_filter=None,
-) -> tuple[dict[int, np.ndarray], int]:
-    """Sample reads and collect per-base confidences. Returns (confs, n_reads).
+    only_mapped: bool | None = None,
+) -> dict[str, dict[int, list]]:
+    """Sample reads; returns {read_name: {base_idx: [(codes, probs)]}}.
 
     Count-quota mode allocates per-contig quotas proportional to index
     mapped-read counts (sampling_schedule.rs:171 from_num_reads); fraction
     mode is per-read Bernoulli with optional seed (record_sampler.rs:29).
     """
-    only_mapped = not include_unmapped
+    if only_mapped is None:
+        only_mapped = not include_unmapped
     rng = np.random.default_rng(seed) if seed is not None else np.random.default_rng()
-    confs: dict[int, list] = {}
+    sampled: dict[str, dict[int, list]] = {}
     seen: set[str] = set()
 
     def use_record(rec) -> bool:
@@ -167,7 +183,7 @@ def sample_read_confidences(
 
     def add(rec) -> bool:
         try:
-            per_base = read_confidences(
+            per_base = read_groups(
                 rec, only_mapped and not rec.is_unmapped, collapse,
                 edge_filter,
                 position_filter if not rec.is_unmapped else None,
@@ -177,8 +193,7 @@ def sample_read_confidences(
         if not per_base:
             return False
         seen.add(rec.name)
-        for b, v in per_base.items():
-            confs.setdefault(b, []).append(v)
+        sampled[rec.name] = per_base
         return True
 
     # mapped phase
@@ -246,7 +261,29 @@ def sample_read_confidences(
             if add(rec):
                 taken += 1
 
-    return {b: np.concatenate(v) for b, v in confs.items()}, len(seen)
+    return sampled
+
+
+def confidences_per_base(sampled: dict) -> dict[int, np.ndarray]:
+    """Pooled argmax confidences per threshold base over sampled reads
+    (read_ids_to_base_mod_probs.rs:67 mle_probs_per_base)."""
+    confs: dict[int, list] = {}
+    for per_base in sampled.values():
+        for b, groups in per_base.items():
+            confs.setdefault(b, []).append(group_confidences(groups))
+    return {b: np.concatenate(v) for b, v in confs.items()}
+
+
+def thresholds_from_sampled(
+    sampled: dict, filter_percentile: float
+) -> dict[str, float]:
+    out = {}
+    for b, v in confidences_per_base(sampled).items():
+        s = np.sort(v.astype(np.float32))
+        out[DNA_BASES[b]] = float(
+            percentile_linear_interp(s, filter_percentile)
+        )
+    return out
 
 
 def estimate_thresholds(
@@ -267,13 +304,9 @@ def estimate_thresholds(
     (thresholds.rs:82 calc_thresholds_per_base)."""
     if sample_frac is not None:
         num_reads = None
-    confs, _ = sample_read_confidences(
+    sampled = sample_reads(
         reader, num_reads, sample_frac, seed, include_unmapped, region,
         collapse, edge_filter, force_allow, interval_size,
         position_filter,
     )
-    out = {}
-    for b, v in confs.items():
-        s = np.sort(v.astype(np.float32))
-        out[DNA_BASES[b]] = float(percentile_linear_interp(s, filter_percentile))
-    return out
+    return thresholds_from_sampled(sampled, filter_percentile)

@@ -26,6 +26,31 @@ HEADER_FIELDS = (
 )
 
 
+def format_float(x, f64: bool = False) -> str:
+    """Shortest round-trip decimal, matching Rust's f32/f64 Display."""
+    if f64:
+        return np.format_float_positional(float(x), unique=True, trim="-")
+    return np.format_float_positional(np.float32(x), unique=True, trim="-")
+
+
+def render_clean_table(rows: list[list[str]]) -> str:
+    """prettytable FORMAT_CLEAN rendering: no borders, 1-space padding,
+    left-aligned columns (used for summary / sample-probs tables)."""
+    if not rows:
+        return ""
+    ncol = max(len(r) for r in rows)
+    widths = [
+        max(len(r[i]) if i < len(r) else 0 for r in rows) for i in range(ncol)
+    ]
+    out = []
+    for r in rows:
+        cells = [
+            f" {r[i] if i < len(r) else '':<{widths[i]}} " for i in range(ncol)
+        ]
+        out.append("".join(cells))
+    return "\n".join(out)
+
+
 def format_percent(fraction: float) -> str:
     """{:.2} of f32 fraction*100 (writers.rs:140)."""
     v = np.float32(fraction) * np.float32(100.0)
