@@ -149,11 +149,56 @@ def build_parser() -> argparse.ArgumentParser:
     _add_logging(p)
     p.set_defaults(func=cmd_sample_probs)
 
+    # ---- adjust-mods ----
+    p = sub.add_parser(
+        "adjust-mods", help="rewrite modBAM, collapsing/converting mod calls"
+    )
+    p.add_argument("in_bam")
+    p.add_argument("out_bam")
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--method", choices=["norm", "dist"], default="dist")
+    p.add_argument("--convert", nargs=2, action="append", default=None)
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--motif", nargs=2, action="append", default=None)
+    p.add_argument("--cpg", action="store_true")
+    p.add_argument("--discard-motifs", action="store_true")
+    p.add_argument("--ff", "--fail-fast", dest="fail_fast", action="store_true")
+    p.add_argument("--filter-probs", action="store_true")
+    _add_common_sampling(p)
+    _add_threshold_args(p)
+    _add_logging(p)
+    p.set_defaults(func=cmd_adjust_mods, call_mode=False)
+
+    # ---- call-mods ----
+    p = sub.add_parser(
+        "call-mods", help="rewrite modBAM with thresholded (hard) calls"
+    )
+    p.add_argument("in_bam")
+    p.add_argument("out_bam")
+    p.add_argument("--mod-threshold", dest="mod_thresholds", action="append", default=None)
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--include-unmapped", action="store_true")
+    p.add_argument("--ff", "--fail-fast", dest="fail_fast", action="store_true")
+    p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
+    p.add_argument("--filter-threshold", action="append", default=None)
+    p.add_argument("--no-filtering", action="store_true")
+    _add_common_sampling(p)
+    _add_logging(p)
+    p.set_defaults(func=cmd_call_mods)
+
+    # ---- update-tags ----
+    p = sub.add_parser("update-tags", help="update MM/ML tag styles and modes")
+    p.add_argument("in_bam")
+    p.add_argument("out_bam")
+    p.add_argument("--mode", choices=["explicit", "implicit", "ambiguous"], default=None)
+    p.add_argument("--no-implicit-probs", action="store_true")
+    _add_logging(p)
+    p.set_defaults(func=cmd_update_tags)
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
-        ("adjust-mods", "rewrite modBAM, collapsing/converting mod calls"),
-        ("call-mods", "rewrite modBAM with thresholded (hard) calls"),
-        ("update-tags", "update MM/ML tag styles and modes"),
         ("extract", "read-level table of mod calls"),
         ("repair", "project mod tags from donor onto trimmed reads"),
         ("validate", "accuracy vs ground-truth BEDs"),
@@ -226,6 +271,130 @@ def cmd_pileup(args) -> int:
         t = ErrorTally(stats["errors"])
         print(t.format_table(), file=sys.stderr)
     return 0
+
+
+def cmd_adjust_mods(args) -> int:
+    from .caller import ThresholdCaller
+    from .collapse import CollapseMethod
+    from .engines.adjust import adjust_modbam
+    from .modcodes import parse_mod_code
+    from .motifs import parse_motifs
+
+    methods = []
+    if args.convert:
+        for frm, to in args.convert:
+            methods.append(
+                CollapseMethod(
+                    "convert", (parse_mod_code(frm),), parse_mod_code(to)
+                )
+            )
+    elif args.ignore:
+        methods.append(
+            CollapseMethod("dist", (parse_mod_code(args.ignore),))
+        )
+    edge_filter = (
+        parse_edge_filter(args.edge_filter, args.invert_edge_filter)
+        if args.edge_filter
+        else None
+    )
+    motifs = None
+    if args.motif or args.cpg:
+        motifs = parse_motifs(
+            [x for pair in (args.motif or []) for x in pair], args.cpg
+        )
+    caller = None
+    if args.filter_probs:
+        ft = parse_filter_thresholds(args.filter_threshold)
+        if args.no_filtering:
+            caller = ThresholdCaller.passthrough()
+        elif ft is not None:
+            default = ft.pop("default", 0.0)
+            caller = ThresholdCaller(ft, parse_mod_thresholds(getattr(args, "mod_thresholds", None)) or {}, default)
+        else:
+            from .io.bam import BamReader
+            from .thresholds import estimate_thresholds
+
+            per_base = estimate_thresholds(
+                BamReader(args.in_bam), num_reads=args.num_reads,
+                sample_frac=args.sampling_frac, seed=args.seed,
+                filter_percentile=args.filter_percentile,
+                collapse=methods, edge_filter=edge_filter,
+            )
+            caller = ThresholdCaller(per_base, {}, 0.0)
+    stats = adjust_modbam(
+        args.in_bam, args.out_bam, methods, caller, edge_filter,
+        filter_only=True if args.filter_probs else False,
+        motifs=motifs, discard_motifs=args.discard_motifs,
+        fail_fast=args.fail_fast,
+    )
+    _print_errors(stats)
+    return 0
+
+
+def cmd_call_mods(args) -> int:
+    from .caller import ThresholdCaller
+    from .engines.adjust import adjust_modbam
+    from .io.bam import BamReader
+
+    ft = parse_filter_thresholds(args.filter_threshold)
+    per_mod = parse_mod_thresholds(args.mod_thresholds) or {}
+    if args.no_filtering:
+        caller = ThresholdCaller.passthrough()
+    elif ft is not None:
+        default = ft.pop("default", 0.0)
+        caller = ThresholdCaller(ft, per_mod, default)
+    else:
+        from .thresholds import estimate_thresholds
+
+        per_base = estimate_thresholds(
+            BamReader(args.in_bam), num_reads=args.num_reads,
+            sample_frac=args.sampling_frac, seed=args.seed,
+            include_unmapped=args.include_unmapped,
+            filter_percentile=args.filter_percentile,
+        )
+        caller = ThresholdCaller(per_base, per_mod, 0.0)
+    edge_filter = (
+        parse_edge_filter(args.edge_filter, args.invert_edge_filter)
+        if args.edge_filter
+        else None
+    )
+    stats = adjust_modbam(
+        args.in_bam, args.out_bam, (), caller, edge_filter,
+        filter_only=False, fail_fast=args.fail_fast,
+    )
+    _print_errors(stats)
+    return 0
+
+
+def cmd_update_tags(args) -> int:
+    from .engines.adjust import adjust_modbam
+    from .modtags import EXPLICIT, IMPLICIT
+
+    if args.mode == "explicit":
+        new_mode = EXPLICIT
+    elif args.mode in ("implicit", "ambiguous"):
+        new_mode = IMPLICIT
+    elif args.no_implicit_probs:
+        new_mode = EXPLICIT
+    else:
+        new_mode = IMPLICIT
+    if args.no_implicit_probs and new_mode != EXPLICIT:
+        raise SystemExit(
+            "cannot change to implicit mode and skip implicit probs"
+        )
+    stats = adjust_modbam(
+        args.in_bam, args.out_bam, new_mode=new_mode,
+        drop_implicit=args.no_implicit_probs, force_mm_style="MM",
+    )
+    _print_errors(stats)
+    return 0
+
+
+def _print_errors(stats: dict) -> None:
+    if stats.get("errors"):
+        from .errors import ErrorTally
+
+        print(ErrorTally(stats["errors"]).format_table(), file=sys.stderr)
 
 
 def _sample_common(args):

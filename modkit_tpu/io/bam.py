@@ -254,8 +254,66 @@ class BamRecord:
         )
         return d_starts[reps] + within
 
+    def aux_spans(self) -> list[tuple[str, int, int]]:
+        """[(tag, start, end)] byte spans of each aux item."""
+        buf = self._buf
+        p = self._aux_off
+        end = len(buf)
+        out = []
+        while p + 3 <= end:
+            start = p
+            tag = buf[p : p + 2].decode("ascii", "replace")
+            typ = chr(buf[p + 2])
+            p += 3
+            if typ == "A" or typ in "cC":
+                p += 1
+            elif typ in "sS":
+                p += 2
+            elif typ in "iIf":
+                p += 4
+            elif typ in "ZH":
+                p = buf.index(b"\x00", p) + 1
+            elif typ == "B":
+                sub = chr(buf[p])
+                n = struct.unpack_from("<I", buf, p + 1)[0]
+                itemsize = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+                p += 5 + n * itemsize
+            else:
+                raise ValueError(f"unknown aux type {typ!r}")
+            out.append((tag, start, p))
+        return out
+
+    def with_replaced_aux(
+        self, remove_tags: set[str], new_items: list[bytes]
+    ) -> bytes:
+        """New raw record bytes with ``remove_tags`` stripped and
+        ``new_items`` (pre-encoded aux blobs) appended."""
+        buf = self._buf
+        out = bytearray(buf[: self._aux_off])
+        for tag, s, e in self.aux_spans():
+            if tag not in remove_tags:
+                out += buf[s:e]
+        for item in new_items:
+            out += item
+        return bytes(out)
+
     def raw(self) -> bytes:
         return self._buf
+
+
+def encode_aux_string(tag: str, value: str) -> bytes:
+    return tag.encode() + b"Z" + value.encode() + b"\x00"
+
+
+def encode_aux_array_u8(tag: str, values) -> bytes:
+    arr = np.asarray(values, dtype=np.uint8)
+    return (
+        tag.encode() + b"B" + b"C" + struct.pack("<I", len(arr)) + arr.tobytes()
+    )
+
+
+def encode_aux_int(tag: str, value: int) -> bytes:
+    return tag.encode() + b"i" + struct.pack("<i", int(value))
 
 
 @dataclass
@@ -507,6 +565,117 @@ class BaiIndex:
             (stats is not None and stats[0] > 0) or bins
             for bins, _, stats in self._per_ref
         )
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Standard BAM bin for [beg, end)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def build_bai(bam_path: str, out_path: str | None = None) -> str:
+    """Build a .bai index for a (coordinate-sorted) BAM, like samtools index.
+
+    The reference builds indexes via htslib (bam::index::build in its
+    tests); rewritten modBAMs need one for the pileup fetch path.
+    """
+    out_path = out_path or bam_path + ".bai"
+    reader = BamReader(bam_path)
+    n_ref = len(reader.header.refs)
+    bins: list[dict] = [dict() for _ in range(n_ref)]
+    linear: list[dict] = [dict() for _ in range(n_ref)]
+    stats = [[0, 0] for _ in range(n_ref)]  # mapped, unmapped per ref
+    ref_span: list[list] = [[None, None] for _ in range(n_ref)]
+    n_no_coor = 0
+
+    bg = reader._bgzf
+    bg.seek_voffset(reader._body_voffset)
+    while True:
+        if bg.at_eof():
+            break
+        v_start = bg.tell_voffset()
+        head = bg.read(4)
+        if len(head) < 4:
+            break
+        (block_size,) = struct.unpack("<i", head)
+        buf = bg.read(block_size)
+        v_end = bg.tell_voffset()
+        rec = BamRecord(buf)
+        if rec.ref_id < 0:
+            n_no_coor += 1
+            continue
+        tid = rec.ref_id
+        if rec.is_unmapped:
+            stats[tid][1] += 1
+            beg, end = rec.pos, rec.pos + 1
+        else:
+            stats[tid][0] += 1
+            beg = rec.pos
+            end = max(rec.reference_end(), beg + 1)
+        b = reg2bin(beg, end)
+        bins[tid].setdefault(b, []).append((v_start, v_end))
+        for w in range(beg >> 14, ((end - 1) >> 14) + 1):
+            cur = linear[tid].get(w)
+            if cur is None or v_start < cur:
+                linear[tid][w] = v_start
+        sp = ref_span[tid]
+        sp[0] = v_start if sp[0] is None else min(sp[0], v_start)
+        sp[1] = v_end if sp[1] is None else max(sp[1], v_end)
+
+    out = [b"BAI\x01", struct.pack("<i", n_ref)]
+    for tid in range(n_ref):
+        tid_bins = {}
+        for b, chunks in bins[tid].items():
+            chunks.sort()
+            merged = [list(chunks[0])]
+            for s, e in chunks[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            tid_bins[b] = merged
+        n_bin = len(tid_bins) + (1 if ref_span[tid][0] is not None else 0)
+        out.append(struct.pack("<i", n_bin))
+        for b in sorted(tid_bins):
+            merged = tid_bins[b]
+            out.append(struct.pack("<Ii", b, len(merged)))
+            for s, e in merged:
+                out.append(struct.pack("<QQ", s, e))
+        if ref_span[tid][0] is not None:
+            # pseudo-bin with ref span + mapped/unmapped counts
+            out.append(struct.pack("<Ii", _PSEUDO_BIN, 2))
+            out.append(struct.pack("<QQ", ref_span[tid][0], ref_span[tid][1]))
+            out.append(struct.pack("<QQ", stats[tid][0], stats[tid][1]))
+        if linear[tid]:
+            n_intv = max(linear[tid]) + 1
+            ioff = [0] * n_intv
+            for w, v in linear[tid].items():
+                ioff[w] = v
+            # fill zeros with previous offsets for correct lower bounds
+            prev = 0
+            for i in range(n_intv):
+                if ioff[i] == 0:
+                    ioff[i] = prev
+                else:
+                    prev = ioff[i]
+            out.append(struct.pack("<i", n_intv))
+            out.append(np.asarray(ioff, dtype="<u8").tobytes())
+        else:
+            out.append(struct.pack("<i", 0))
+    out.append(struct.pack("<Q", n_no_coor))
+    with open(out_path, "wb") as fh:
+        fh.write(b"".join(out))
+    return out_path
 
 
 # ---------------------------------------------------------------- writer

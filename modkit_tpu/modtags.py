@@ -486,23 +486,29 @@ def format_mm_ml(
     write_mask = ~(group.inferred & implicit)
     mm_parts: list[str] = []
     ml: list[np.ndarray] = []
-    emitted_any = False
+    any_entry = False
     for code in sorted(group.codes, key=mod_code_sort_key):
         col = group.codes.index(code)
-        present = (group.probs[:, col] >= 0) & write_mask
-        pos = group.positions[present]
+        present_col = group.probs[:, col] >= 0
+        if not present_col.any():
+            # code never appears at any position -> no sub-tag entry
+            continue
+        any_entry = True
+        written = present_col & write_mask
+        pos = group.positions[written]
         header = f"{group.base}{strand_ch}{code}{mode_label}"
         if len(pos) == 0:
+            # code only at inferred positions: bare header, keeps the code
+            # and mode in the tag (mod_bam.rs:1310-1317, 1352-1366)
+            mm_parts.append(header + ";")
             continue
         deltas = positions_to_deltas(pos, base_positions)
         mm_parts.append(
             header + "," + ",".join(str(int(d)) for d in deltas) + ";"
         )
-        ml.append(probs_to_quals(group.probs[present, col]))
-        emitted_any = True
-    if not emitted_any:
-        # no explicit probs: emit bare header so mode survives round-trip
-        # ("any mod" char for the base, mod_bam.rs:1332-1340)
+        ml.append(probs_to_quals(group.probs[written, col]))
+    if not any_entry:
+        # no codes at all: "any mod" char for the base (mod_bam.rs:1332-1340)
         mm_parts.append(
             f"{group.base}{strand_ch}{modcodes.any_mod_code(group.base)}"
             f"{mode_label};"
