@@ -197,9 +197,34 @@ def build_parser() -> argparse.ArgumentParser:
     _add_logging(p)
     p.set_defaults(func=cmd_update_tags)
 
+    # ---- extract ----
+    p = sub.add_parser("extract", help="read-level table of mod calls")
+    esub = p.add_subparsers(dest="extract_mode", required=True)
+    for mode in ("full", "calls"):
+        q = esub.add_parser(mode)
+        q.add_argument("in_bam")
+        q.add_argument("out_path")
+        q.add_argument("-i", "--interval-size", type=int, default=100_000)
+        q.add_argument("--ref", "--reference", dest="reference_fasta", default=None)
+        q.add_argument("--force", action="store_true")
+        q.add_argument("--ignore", default=None)
+        q.add_argument("--mapped-only", action="store_true")
+        q.add_argument("--allow-non-primary", action="store_true")
+        q.add_argument("--region", default=None)
+        q.add_argument("--kmer-size", type=int, default=5)
+        q.add_argument("--edge-filter", default=None)
+        q.add_argument("--invert-edge-filter", action="store_true")
+        q.add_argument("--no-headers", action="store_true")
+        _add_common_sampling(q)
+        _add_logging(q)
+        if mode == "calls":
+            q.add_argument("--pass-only", action="store_true")
+            q.add_argument("--mod-threshold", dest="mod_thresholds", action="append", default=None)
+            _add_threshold_args(q)
+        q.set_defaults(func=cmd_extract, extract_mode=mode)
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
-        ("extract", "read-level table of mod calls"),
         ("repair", "project mod tags from donor onto trimmed reads"),
         ("validate", "accuracy vs ground-truth BEDs"),
         ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
@@ -387,6 +412,62 @@ def cmd_update_tags(args) -> int:
         drop_implicit=args.no_implicit_probs, force_mm_style="MM",
     )
     _print_errors(stats)
+    return 0
+
+
+def cmd_extract(args) -> int:
+    import os
+
+    from .caller import ThresholdCaller
+    from .collapse import CollapseMethod
+    from .engines.extract import run_extract
+    from .modcodes import parse_mod_code
+
+    if (
+        args.out_path not in ("-", "stdout")
+        and os.path.exists(args.out_path)
+        and not args.force
+    ):
+        raise SystemExit(f"refusing to overwrite {args.out_path} (use --force)")
+    collapse = []
+    if args.ignore:
+        collapse.append(CollapseMethod("dist", (parse_mod_code(args.ignore),)))
+    edge_filter = (
+        parse_edge_filter(args.edge_filter, args.invert_edge_filter)
+        if args.edge_filter
+        else None
+    )
+    caller = None
+    if args.extract_mode == "calls":
+        ft = parse_filter_thresholds(args.filter_threshold)
+        per_mod = parse_mod_thresholds(args.mod_thresholds) or {}
+        if args.no_filtering:
+            caller = ThresholdCaller.passthrough()
+        elif ft is not None:
+            default = ft.pop("default", 0.0)
+            caller = ThresholdCaller(ft, per_mod, default)
+        else:
+            from .io.bam import BamReader
+            from .thresholds import estimate_thresholds
+
+            per_base = estimate_thresholds(
+                BamReader(args.in_bam), num_reads=args.num_reads,
+                sample_frac=args.sampling_frac, seed=args.seed,
+                include_unmapped=True,
+                filter_percentile=args.filter_percentile,
+                collapse=collapse, edge_filter=edge_filter,
+                region=args.region,
+            )
+            caller = ThresholdCaller(per_base, per_mod, 0.0)
+    run_extract(
+        args.in_bam, args.out_path, mode=args.extract_mode,
+        collapse=collapse, edge_filter=edge_filter, kmer_size=args.kmer_size,
+        reference_fasta=args.reference_fasta, caller=caller,
+        pass_only=getattr(args, "pass_only", False),
+        mapped_only=args.mapped_only, region=args.region,
+        allow_non_primary=args.allow_non_primary,
+        include_header=not args.no_headers,
+    )
     return 0
 
 

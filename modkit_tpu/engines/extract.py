@@ -1,0 +1,333 @@
+"""`extract full` / `extract calls`: read-level mod-call tables.
+
+Reference: src/extract/ + ReadBaseModProfile::process_record
+(read_ids_to_base_mod_probs.rs:591) and PositionModCalls (:1088), with the
+19-column full schema (:400-424) and 21-column calls schema
+(extract/writer.rs:13-38).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from ..caller import ThresholdCaller
+from ..errors import ErrorTally, ModKitError
+from ..io.bam import BamReader
+from ..modcodes import DNA_BASES, complement, mod_code_sort_key
+from ..modtags import decode_record
+from ..collapse import apply_collapse
+from ..writers import format_float
+
+FULL_HEADER = (
+    "read_id\tforward_read_position\tref_position\tchrom\tmod_strand\t"
+    "ref_strand\tref_mod_strand\tfw_soft_clipped_start\tfw_soft_clipped_end\t"
+    "read_length\tmod_qual\tmod_code\tbase_qual\tref_kmer\tquery_kmer\t"
+    "canonical_base\tmodified_primary_base\tinferred\tflag"
+)
+CALLS_HEADER = (
+    "read_id\tforward_read_position\tref_position\tchrom\tmod_strand\t"
+    "ref_strand\tref_mod_strand\tfw_soft_clipped_start\tfw_soft_clipped_end\t"
+    "read_length\tcall_prob\tcall_code\tbase_qual\tref_kmer\tquery_kmer\t"
+    "canonical_base\tmodified_primary_base\tfail\tinferred\twithin_alignment\t"
+    "flag"
+)
+
+
+def kmer_at(seq: np.ndarray, pos: int, size: int, revcomp: bool) -> str:
+    """util.rs:750 Kmer::new (+ reverse_complement for '-' mod strand):
+    '-' pads positions outside the sequence."""
+    before = size // 2 - 1 if size % 2 == 0 else size // 2
+    after = size // 2
+    out = []
+    for off in range(pos - before, pos + after + 1):
+        if 0 <= off < len(seq):
+            out.append(chr(seq[off]))
+        else:
+            out.append("-")
+    if revcomp:
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A", "-": "-"}
+        out = [comp.get(c, c) for c in reversed(out)]
+    return "".join(out)
+
+
+def soft_clips(rec) -> tuple[int, int]:
+    """Leading/trailing soft-clip lengths in *forward read* orientation
+    (read_ids_to_base_mod_probs.rs:804 get_soft_clipped; counting stops at
+    the first non-S op from either end)."""
+    if rec.is_unmapped:
+        return 0, 0
+    cg = rec.cigar
+    ops = cg & 0xF
+    lens = (cg >> 4).astype(np.int64)
+    start = 0
+    for o, l in zip(ops, lens):
+        if o == 4:
+            start += int(l)
+        else:
+            break
+    end = 0
+    for o, l in zip(ops[::-1], lens[::-1]):
+        if o == 4:
+            end += int(l)
+        else:
+            break
+    if rec.is_reverse:
+        return end, start
+    return start, end
+
+
+class ReadProfile:
+    """Per-read row data shared by full and calls modes."""
+
+    def __init__(self, rec, header, collapse=(), edge_filter=None,
+                 kmer_size: int = 5):
+        info = decode_record(rec)
+        self.rec = rec
+        self.read_id = rec.name
+        self.flag = rec.flag
+        self.read_length = rec.l_seq
+        self.clip_start, self.clip_end = soft_clips(rec)
+        self.chrom = (
+            header.tid2name(rec.ref_id) if not rec.is_unmapped else None
+        )
+        self.aln_strand = (
+            None if rec.is_unmapped else ("-" if rec.is_reverse else "+")
+        )
+        fwd_seq = rec.forward_seq()
+        quals = rec.quals()
+        self.quals_f = quals[::-1] if rec.is_reverse else quals
+        self.fwd_seq = fwd_seq
+        self.kmer_size = kmer_size
+
+        if rec.is_unmapped:
+            self.ref_map = {}
+        else:
+            qf, rp = rec.aligned_pairs_forward()
+            self.ref_map = dict(zip(qf.tolist(), rp.tolist()))
+
+        # entries: (qpos, base, mod_strand, codes, prob_row, inferred)
+        entries = []
+        for base, strand, g in info.iter_groups():
+            positions, probs, inferred = g.positions, g.probs, g.inferred
+            codes = list(g.codes)
+            if edge_filter is not None:
+                if not edge_filter.read_can_be_trimmed(rec.l_seq):
+                    continue
+                keep = edge_filter.keep_mask(positions, rec.l_seq)
+                if not keep.any():
+                    continue
+                positions, probs, inferred = (
+                    positions[keep], probs[keep], inferred[keep]
+                )
+            for mth in collapse:
+                codes, probs = apply_collapse(codes, probs, mth)
+            for i in range(len(positions)):
+                entries.append(
+                    (int(positions[i]), base, strand, codes, probs[i],
+                     bool(inferred[i]))
+                )
+        rev = rec.is_reverse
+        entries.sort(key=lambda e: -e[0] if rev else e[0])
+        self.entries = entries
+        self.is_primary_or_unmapped = self.flag in (0, 16, 4)
+
+    def within_alignment(self, qpos: int) -> bool:
+        hi = self.read_length - self.clip_end
+        return self.clip_start <= qpos < hi
+
+    def common_cols(self, qpos: int, mod_strand: int, base: str):
+        ref_pos = self.ref_map.get(qpos, -1)
+        mod_strand_ch = "+" if mod_strand == 0 else "-"
+        if self.aln_strand is None:
+            ref_strand = ref_mod_strand = "."
+        else:
+            ref_strand = self.aln_strand
+            flip = (mod_strand == 1) != (ref_strand == "-")
+            ref_mod_strand = "-" if flip else "+"
+        q = int(self.quals_f[qpos]) if qpos < len(self.quals_f) else 0
+        kmer = kmer_at(self.fwd_seq, qpos, self.kmer_size, mod_strand == 1)
+        mod_primary = complement(base) if mod_strand == 1 else base
+        return ref_pos, mod_strand_ch, ref_strand, ref_mod_strand, q, kmer, mod_primary
+
+
+def full_rows(profile: ReadProfile, ref_seqs: dict | None) -> list[str]:
+    rows = []
+    chrom = profile.chrom or "."
+    for qpos, base, strand, codes, prob_row, inferred in profile.entries:
+        if not profile.is_primary_or_unmapped and not profile.within_alignment(qpos):
+            continue
+        (ref_pos, mod_s, ref_s, ref_ms, q, kmer, mod_primary) = (
+            profile.common_cols(qpos, strand, base)
+        )
+        ref_kmer = "."
+        if ref_seqs is not None and profile.chrom in ref_seqs and ref_pos >= 0:
+            ref_kmer = kmer_at(
+                ref_seqs[profile.chrom], ref_pos, profile.kmer_size, False
+            )
+        for j, code in enumerate(codes):
+            p = prob_row[j]
+            if p < 0:
+                continue
+            rows.append(
+                f"{profile.read_id}\t{qpos}\t{ref_pos}\t{chrom}\t{mod_s}\t"
+                f"{ref_s}\t{ref_ms}\t{profile.clip_start}\t{profile.clip_end}\t"
+                f"{profile.read_length}\t{format_float(p)}\t{code}\t{q}\t"
+                f"{ref_kmer}\t{kmer}\t{base}\t{mod_primary}\t"
+                f"{str(inferred).lower()}\t{profile.flag}\n"
+            )
+    return rows
+
+
+def calls_rows(
+    profile: ReadProfile,
+    caller: ThresholdCaller,
+    ref_seqs: dict | None,
+    pass_only: bool = False,
+    skip_inferred: bool = False,
+) -> list[str]:
+    """One thresholded call per (position, mod strand, base)
+    (read_ids_to_base_mod_probs.rs:1088 PositionModCalls::from_profile:
+    codes-per-base unioned across the read, absent codes fill 0; inferred
+    positions become inferred-canonical over the union)."""
+    # observed codes per base across the read's emitted rows
+    codes_per_base: dict[str, list] = {}
+    for qpos, base, strand, codes, prob_row, inferred in profile.entries:
+        if not profile.is_primary_or_unmapped and not profile.within_alignment(qpos):
+            continue
+        s = codes_per_base.setdefault(base, [])
+        for j, c in enumerate(codes):
+            if prob_row[j] >= 0 and c not in s:
+                s.append(c)
+    for b in codes_per_base:
+        codes_per_base[b] = sorted(codes_per_base[b], key=mod_code_sort_key)
+
+    rows = []
+    chrom = profile.chrom or "."
+    for qpos, base, strand, codes, prob_row, inferred in profile.entries:
+        if not profile.is_primary_or_unmapped and not profile.within_alignment(qpos):
+            continue
+        union = codes_per_base.get(base, [])
+        # probability map over the union (insertion order = sorted union)
+        probs = {}
+        if inferred:
+            for c in union:
+                probs[c] = np.float32(0.0)
+        else:
+            for j, c in enumerate(codes):
+                if prob_row[j] >= 0:
+                    probs[c] = np.float32(prob_row[j])
+            for c in union:
+                if c not in probs:
+                    probs[c] = np.float32(0.0)
+        call = caller.call(base, probs)
+        filtered = call[0] == "filtered"
+        if filtered and pass_only:
+            continue
+        if inferred and skip_inferred:
+            continue
+        # argmax call for the reported prob/code
+        canon = np.float32(1.0) - np.float32(sum(probs.values()))
+        best_code, best_p = None, -np.inf
+        for c, p in probs.items():
+            if p >= best_p:
+                best_code, best_p = c, p
+        if best_code is None or not (best_p > canon):
+            call_prob, call_code = canon, "-"
+        else:
+            call_prob, call_code = best_p, str(best_code)
+        (ref_pos, mod_s, ref_s, ref_ms, q, kmer, mod_primary) = (
+            profile.common_cols(qpos, strand, base)
+        )
+        ref_kmer = "."
+        if ref_seqs is not None and profile.chrom in ref_seqs and ref_pos >= 0:
+            ref_kmer = kmer_at(
+                ref_seqs[profile.chrom], ref_pos, profile.kmer_size, False
+            )
+        within = profile.chrom is not None and profile.within_alignment(qpos)
+        rows.append(
+            f"{profile.read_id}\t{qpos}\t{ref_pos}\t{chrom}\t{mod_s}\t"
+            f"{ref_s}\t{ref_ms}\t{profile.clip_start}\t{profile.clip_end}\t"
+            f"{profile.read_length}\t{format_float(call_prob)}\t{call_code}\t"
+            f"{q}\t{ref_kmer}\t{kmer}\t{base}\t{mod_primary}\t"
+            f"{str(filtered).lower()}\t{str(inferred).lower()}\t"
+            f"{str(within).lower()}\t{profile.flag}\n"
+        )
+    return rows
+
+
+def run_extract(
+    in_bam: str,
+    out,
+    mode: str = "full",
+    collapse=(),
+    edge_filter=None,
+    kmer_size: int = 5,
+    reference_fasta: str | None = None,
+    caller: ThresholdCaller | None = None,
+    pass_only: bool = False,
+    mapped_only: bool = False,
+    num_reads: int | None = None,
+    region: str | None = None,
+    allow_non_primary: bool = False,
+    include_header: bool = True,
+) -> dict:
+    reader = BamReader(in_bam)
+    ref_seqs = None
+    if reference_fasta is not None:
+        from ..io.fasta import FastaReader
+
+        fa = FastaReader(reference_fasta)
+        ref_seqs = {
+            name: fa.fetch(name)
+            for name in fa.names()
+            if name in reader.header.name_to_tid
+        }
+    errors = ErrorTally()
+    close = False
+    if isinstance(out, str):
+        if out in ("-", "stdout"):
+            fh = sys.stdout
+        else:
+            fh = open(out, "w")
+            close = True
+    else:
+        fh = out
+    if include_header:
+        fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
+    n_reads = 0
+    if region is not None:
+        from ..pileup.runner import parse_region
+
+        tid, start, end = parse_region(region, reader.header)
+        records = reader.fetch(tid, start, end)
+    else:
+        records = reader.records()
+    # serial iteration visits each record exactly once; the reference's
+    # prev_end dedup exists only because its interval fan-out can fetch a
+    # record twice (extract/util.rs:329)
+    for rec in records:
+        if num_reads is not None and n_reads >= num_reads:
+            break
+        if not allow_non_primary and rec.is_not_primary:
+            continue
+        if mapped_only and rec.is_unmapped:
+            continue
+        try:
+            profile = ReadProfile(rec, reader.header, collapse, edge_filter, kmer_size)
+        except ModKitError as e:
+            errors.add(e)
+            continue
+        if mode == "full":
+            rows = full_rows(profile, ref_seqs)
+        else:
+            rows = calls_rows(
+                profile, caller or ThresholdCaller.passthrough(), ref_seqs,
+                pass_only,
+            )
+        fh.writelines(rows)
+        n_reads += 1
+    if close:
+        fh.close()
+    return dict(reads=n_reads, errors=dict(errors))

@@ -26,11 +26,43 @@ HEADER_FIELDS = (
 )
 
 
+import functools
+from decimal import ROUND_HALF_UP, Decimal
+
+
+@functools.lru_cache(maxsize=1 << 16)
+def _format_float_cached(v: float, f64: bool) -> str:
+    # Rust Display prints the SHORTEST decimal that round-trips; on exact
+    # decimal ties it rounds the last digit up (ryu semantics), unlike
+    # numpy's dragon4 which rounds to even (e.g. f32 0.251953125 prints as
+    # "0.25195313" in Rust).
+    if v == 0.0:
+        return "0"
+    if v != v:
+        return "NaN"
+    if v == float("inf"):
+        return "inf"
+    if v == float("-inf"):
+        return "-inf"
+    exact = Decimal(v)
+    adj = exact.adjusted()
+    for digits in range(1, 18):
+        quant = Decimal(1).scaleb(adj - digits + 1)
+        cand = exact.quantize(quant, rounding=ROUND_HALF_UP)
+        back = float(cand)
+        ok = (
+            back == v if f64 else np.float32(back) == np.float32(v)
+        )
+        if ok:
+            s = format(cand.normalize(), "f")
+            return s
+    return repr(v)
+
+
 def format_float(x, f64: bool = False) -> str:
     """Shortest round-trip decimal, matching Rust's f32/f64 Display."""
-    if f64:
-        return np.format_float_positional(float(x), unique=True, trim="-")
-    return np.format_float_positional(np.float32(x), unique=True, trim="-")
+    v = float(x) if f64 else float(np.float32(x))
+    return _format_float_cached(v, f64)
 
 
 def render_clean_table(rows: list[list[str]]) -> str:
