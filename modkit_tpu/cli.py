@@ -223,12 +223,74 @@ def build_parser() -> argparse.ArgumentParser:
             _add_threshold_args(q)
         q.set_defaults(func=cmd_extract, extract_mode=mode)
 
+    # ---- dmr pair/multi (dmr/subcommands.rs:29-55) ----
+    p = sub.add_parser("dmr", help="differential methylation scoring")
+    dsub = p.add_subparsers(dest="dmr_mode", required=True)
+    q = dsub.add_parser("pair", help="compare a pair of samples")
+    q.add_argument("-a", action="append", default=[], dest="a")
+    q.add_argument("-b", action="append", default=[], dest="b")
+    q.add_argument("-o", "--out-path", default=None)
+    q.add_argument("--header", "--with-header", action="store_true")
+    q.add_argument("-r", "--regions", "--regions-bed", default=None,
+                   dest="regions")
+    q.add_argument("--ref", required=True)
+    q.add_argument("--segment", default=None, dest="segment")
+    q.add_argument("--max-gap-size", type=int, default=5000)
+    q.add_argument("--dmr-prior", type=float, default=0.1)
+    q.add_argument("--diff-stay", type=float, default=0.9)
+    q.add_argument("--significance-factor", type=float, default=0.01)
+    q.add_argument("--log-transition-decay", action="store_true")
+    q.add_argument("--decay-distance", type=int, default=500)
+    q.add_argument("--fine-grained", action="store_true")
+    q.add_argument("-m", "--base", "--modified-bases", action="append",
+                   default=[], dest="base")
+    q.add_argument("--assign-code", action="append", default=None)
+    q.add_argument("--log-filepath", "--log", default=None)
+    q.add_argument("-t", "--threads", type=int, default=4)
+    q.add_argument("--io-threads", type=int, default=4)
+    q.add_argument("--batch-size", "--batch", type=int, default=None)
+    q.add_argument("-k", "--mask", action="store_true")
+    q.add_argument("--suppress-progress", action="store_true")
+    q.add_argument("-f", "--force", action="store_true")
+    q.add_argument("--missing", choices=["quiet", "warn", "fail"],
+                   default="warn")
+    q.add_argument("--min-valid-coverage", "--min-coverage", type=int,
+                   default=0)
+    q.add_argument("--prior", nargs=2, type=float, default=None)
+    q.add_argument("--delta", type=float, default=0.05)
+    q.add_argument("-N", "--n-sample-records", type=int, default=10_042)
+    q.add_argument("--max-coverages", nargs=2, type=int, default=None)
+    q.add_argument("--cap-coverages", action="store_true")
+    q.add_argument("-i", "--interval-size", type=int, default=100_000)
+    q.set_defaults(func=cmd_dmr_pair, command_name="dmr pair")
+    q = dsub.add_parser("multi", help="compare all pairs of samples")
+    q.add_argument("-s", "--sample", nargs=2, action="extend", default=[])
+    q.add_argument("-r", "--regions", "--regions-bed", required=True,
+                   dest="regions")
+    q.add_argument("--header", "--with-header", action="store_true")
+    q.add_argument("-o", "--out-dir", required=True)
+    q.add_argument("-p", "--prefix", default=None)
+    q.add_argument("--ref", required=True)
+    q.add_argument("-m", "--base", "--modified-bases", action="append",
+                   default=[], dest="base")
+    q.add_argument("--assign-code", action="append", default=None)
+    q.add_argument("--log-filepath", "--log", default=None)
+    q.add_argument("-t", "--threads", type=int, default=4)
+    q.add_argument("--io-threads", type=int, default=4)
+    q.add_argument("-k", "--mask", action="store_true")
+    q.add_argument("--suppress-progress", action="store_true")
+    q.add_argument("-f", "--force", action="store_true")
+    q.add_argument("--missing", choices=["quiet", "warn", "fail"],
+                   default="warn")
+    q.add_argument("--min-valid-coverage", "--min-coverage", type=int,
+                   default=0)
+    q.set_defaults(func=cmd_dmr_multi, command_name="dmr multi")
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
         ("repair", "project mod tags from donor onto trimmed reads"),
         ("validate", "accuracy vs ground-truth BEDs"),
         ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
-        ("dmr", "differential methylation scoring"),
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
         ("entropy", "methylation entropy in sliding windows"),
@@ -566,6 +628,18 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_dmr_pair(args) -> int:
+    from .engines.dmr import run_pair
+
+    return run_pair(args)
+
+
+def cmd_dmr_multi(args) -> int:
+    from .engines.dmr import run_multi
+
+    return run_multi(args)
 
 
 def main(argv=None) -> int:
