@@ -196,33 +196,33 @@ def _aggregate_region(
     return combined
 
 
-def _score_results(results: list[_RegionResult]) -> None:
-    """Vectorized scoring pass: 2-category regions go through the batched
-    beta kernel; k-category regions through the batched dirichlet kernel.
-    Regions whose category structure is invalid raise and are dropped by
-    the caller beforehand."""
+def score_counts_pairs(
+    pairs: list[tuple[AggregatedCounts, AggregatedCounts]],
+) -> list[float | None]:
+    """llk_ratio (llr_model.rs:314-330) for a batch of (a, b) count pairs,
+    vectorized; None where the category structure is invalid (2 categories
+    but more than one distinct mod code)."""
+    scores: list[float | None] = [None] * len(pairs)
     beta_idx, beta_rows = [], []
-    dir_idx, dir_a, dir_b = [], [], []
-    for i, r in enumerate(results):
-        codes_a = set(r.counts_a.mod_code_counts)
-        codes_b = set(r.counts_b.mod_code_counts)
+    dir_groups: dict[int, list[tuple[int, np.ndarray, np.ndarray]]] = {}
+    for i, (ca, cb) in enumerate(pairs):
+        codes_a = set(ca.mod_code_counts)
+        codes_b = set(cb.mod_code_counts)
         n_categories = max(len(codes_a), len(codes_b)) + 1
         if n_categories < 2:
-            r.score = 0.0
+            scores[i] = 0.0
         elif n_categories == 2:
             union = codes_a | codes_b
             if len(union) != 1:
-                raise ValueError(
-                    "should have exactly one modification to use beta llk"
-                )
+                continue  # invalid -> None
             code = next(iter(union))
             beta_idx.append(i)
             beta_rows.append(
                 (
-                    r.counts_a.mod_code_counts.get(code, 0),
-                    r.counts_a.total,
-                    r.counts_b.mod_code_counts.get(code, 0),
-                    r.counts_b.total,
+                    ca.mod_code_counts.get(code, 0),
+                    ca.total,
+                    cb.mod_code_counts.get(code, 0),
+                    cb.total,
                 )
             )
         else:
@@ -231,28 +231,37 @@ def _score_results(results: list[_RegionResult]) -> None:
             row_a = np.zeros(k)
             row_b = np.zeros(k)
             for j, code in enumerate(union):
-                row_a[j + 1] = r.counts_a.mod_code_counts.get(code, 0)
-                row_b[j + 1] = r.counts_b.mod_code_counts.get(code, 0)
-            row_a[0] = r.counts_a.canonical_counts()
-            row_b[0] = r.counts_b.canonical_counts()
-            dir_idx.append(i)
-            dir_a.append(row_a)
-            dir_b.append(row_b)
+                row_a[j + 1] = ca.mod_code_counts.get(code, 0)
+                row_b[j + 1] = cb.mod_code_counts.get(code, 0)
+            row_a[0] = ca.canonical_counts()
+            row_b[0] = cb.canonical_counts()
+            dir_groups.setdefault(k, []).append((i, row_a, row_b))
     if beta_idx:
         arr = np.array(beta_rows, dtype=np.float64)
-        scores = llk_ratio_beta(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
-        for i, s in zip(beta_idx, np.atleast_1d(scores)):
-            results[i].score = float(s)
-    # dirichlet regions can have heterogeneous K; group by K for batching
-    by_k: dict[int, list[int]] = {}
-    for slot, i in enumerate(dir_idx):
-        by_k.setdefault(dir_a[slot].shape[0], []).append(slot)
-    for k, slots in by_k.items():
-        a = np.stack([dir_a[s] for s in slots])
-        b = np.stack([dir_b[s] for s in slots])
-        scores = np.atleast_1d(llk_ratio_dirichlet(a, b))
-        for s, sc in zip(slots, scores):
-            results[dir_idx[s]].score = float(sc)
+        vals = np.atleast_1d(
+            llk_ratio_beta(arr[:, 0], arr[:, 1], arr[:, 2], arr[:, 3])
+        )
+        for i, s in zip(beta_idx, vals):
+            scores[i] = float(s)
+    for _k, group in dir_groups.items():
+        a = np.stack([g[1] for g in group])
+        b = np.stack([g[2] for g in group])
+        vals = np.atleast_1d(llk_ratio_dirichlet(a, b))
+        for (i, _, _), s in zip(group, vals):
+            scores[i] = float(s)
+    return scores
+
+
+def _score_results(results: list[_RegionResult]) -> None:
+    """Vectorized scoring pass over regions; raises for regions whose
+    category structure is invalid (2 categories but >1 distinct code)."""
+    scores = score_counts_pairs([(r.counts_a, r.counts_b) for r in results])
+    for r, s in zip(results, scores):
+        if s is None:
+            raise ValueError(
+                "should have exactly one modification to use beta llk"
+            )
+        r.score = s
 
 
 def _result_row(r: _RegionResult) -> str:
