@@ -286,6 +286,81 @@ def build_parser() -> argparse.ArgumentParser:
                    default=0)
     q.set_defaults(func=cmd_dmr_multi, command_name="dmr multi")
 
+    # ---- stats (stats/subcommand.rs:25-66) ----
+    p = sub.add_parser("stats", help="per-region methylation statistics")
+    p.add_argument("in_bedmethyl")
+    p.add_argument("--regions", required=True)
+    p.add_argument("-c", "--mod-codes", "--codes", action="extend",
+                   type=lambda s: s.split(","), default=None)
+    p.add_argument("-m", "--min-coverage", "--min-cov", type=int, default=1)
+    p.add_argument("-o", "--out-table", "--out", required=True)
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--no-header", action="store_true")
+    p.add_argument("--log-filepath", "--log", default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--io-threads", type=int, default=2)
+    p.set_defaults(func=cmd_stats, command_name="stats")
+
+    # ---- localize (localise/subcommand.rs:27-104) ----
+    p = sub.add_parser(
+        "localize", aliases=["localise"],
+        help="aggregate methylation around features",
+    )
+    p.add_argument("in_bedmethyl")
+    p.add_argument("--regions", required=True)
+    p.add_argument("--chart", default=None, dest="chart_filepath")
+    p.add_argument("--name", default=None, dest="chart_name")
+    p.add_argument("-w", "--window", type=int, default=2000)
+    p.add_argument("-s", "--stranded", choices=["same", "opposite"],
+                   default=None)
+    p.add_argument("--stranded-features", choices=["+", "-", "."],
+                   default=None)
+    p.add_argument("--min-coverage", type=int, default=3)
+    p.add_argument("-r", "--genome-sizes", required=True)
+    p.add_argument("-o", "--out-file", default=None)
+    p.add_argument("--log-filepath", "--log", default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--io-threads", type=int, default=2)
+    p.add_argument("-f", "--force", action="store_true")
+    p.add_argument("--batch-size", type=int, default=500_000)
+    p.set_defaults(func=cmd_localize, command_name="localize")
+
+    # ---- bedmethyl merge/tobigwig (bedmethyl_util/subcommands.rs) ----
+    p = sub.add_parser("bedmethyl", help="bedMethyl utilities")
+    bsub = p.add_subparsers(dest="bedmethyl_mode", required=True)
+    q = bsub.add_parser("merge", help="merge N tabix bedMethyl files")
+    q.add_argument("in_bedmethyl", nargs="+")
+    q.add_argument("-o", "--out-bed", required=True)
+    q.add_argument("-g", "--genome-sizes", required=True)
+    q.add_argument("--force", action="store_true")
+    q.add_argument("--chunk-size", type=int, default=None)
+    q.add_argument("-i", "--interval-size", type=int, default=100_000)
+    q.add_argument("--log-filepath", "--log", default=None)
+    q.add_argument("-t", "--threads", type=int, default=4)
+    q.add_argument("--queue-size", type=int, default=30)
+    q.add_argument("--io-threads", type=int, default=2)
+    q.set_defaults(func=cmd_bedmethyl_merge, command_name="bedmethyl merge")
+    q = bsub.add_parser("tobigwig", help="bedMethyl -> bigWig track")
+    q.add_argument("in_bedmethyl")
+    q.add_argument("out_fp")
+    q.add_argument("-g", "--sizes", required=True, dest="chromsizes")
+    q.add_argument("-m", "--mod-codes", "--mod-code", action="extend",
+                   type=lambda s: s.split(","), required=True)
+    q.add_argument("--negative-strand-values", action="store_true")
+    q.add_argument("-t", "--nthreads", type=int, default=6)
+    q.add_argument("-z", "--nzooms", type=int, default=10)
+    q.add_argument("--zooms", type=lambda s: [int(x) for x in s.split(",")],
+                   default=None)
+    q.add_argument("-u", "--uncompressed", action="store_true")
+    q.add_argument("--block-size", type=int, default=256)
+    q.add_argument("--items-per-slot", type=int, default=1024)
+    q.add_argument("--inmemory", action="store_true")
+    q.add_argument("--log-filepath", "--log", default=None)
+    q.add_argument("--suppress-progress", action="store_true")
+    q.set_defaults(
+        func=cmd_bedmethyl_tobigwig, command_name="bedmethyl tobigwig"
+    )
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
         ("repair", "project mod tags from donor onto trimmed reads"),
@@ -294,10 +369,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
         ("entropy", "methylation entropy in sliding windows"),
-        ("localize", "aggregate methylation around features"),
-        ("stats", "per-region methylation statistics"),
         ("modbam", "modBAM utilities (check-tags/sample-reads)"),
-        ("bedmethyl", "bedMethyl utilities (merge/tobigwig)"),
     ]:
         q = sub.add_parser(name, help=helptxt)
         q.set_defaults(func=None, command_name=name)
@@ -628,6 +700,30 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_stats(args) -> int:
+    from .engines.bedmethyl_tools import run_stats
+
+    return run_stats(args)
+
+
+def cmd_localize(args) -> int:
+    from .engines.bedmethyl_tools import run_localize
+
+    return run_localize(args)
+
+
+def cmd_bedmethyl_merge(args) -> int:
+    from .engines.bedmethyl_tools import run_merge
+
+    return run_merge(args)
+
+
+def cmd_bedmethyl_tobigwig(args) -> int:
+    from .engines.bedmethyl_tools import run_tobigwig
+
+    return run_tobigwig(args)
 
 
 def cmd_dmr_pair(args) -> int:
