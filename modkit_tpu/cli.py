@@ -361,6 +361,43 @@ def build_parser() -> argparse.ArgumentParser:
         func=cmd_bedmethyl_tobigwig, command_name="bedmethyl tobigwig"
     )
 
+    # ---- entropy (entropy/subcommand.rs:28-181) ----
+    p = sub.add_parser(
+        "entropy", help="methylation entropy in sliding windows"
+    )
+    p.add_argument("-s", "--in-bam", action="append", required=True,
+                   dest="in_bam")
+    p.add_argument("-o", "--out-bed", default=None)
+    p.add_argument("--prefix", default=None)
+    p.add_argument("-n", "--num-positions", type=int, default=4)
+    p.add_argument("-w", "--window-size", type=int, default=50)
+    p.add_argument("--no-filtering", action="store_true")
+    p.add_argument("--num-reads", type=int, default=10_042)
+    p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
+    p.add_argument("--filter-threshold", "--pass_threshold", type=float,
+                   default=None)
+    p.add_argument("--mod-thresholds", "--mod-threshold", action="append",
+                   default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--io-threads", type=int, default=None)
+    p.add_argument("--ref", "--reference", required=True)
+    p.add_argument("--mask", action="store_true")
+    p.add_argument("--motif", nargs=2, action="extend", default=None)
+    p.add_argument("--cpg", action="store_true")
+    p.add_argument("--base", action="append", default=None)
+    p.add_argument("--regions", default=None)
+    p.add_argument("--combine-strands", action="store_true")
+    p.add_argument("--min-coverage", type=int, default=3,
+                   dest="min_coverage")
+    p.add_argument("--log-filepath", "--log", default=None)
+    p.add_argument("--verbose-logging", action="store_true", dest="verbose")
+    p.add_argument("--suppress-progress", action="store_true")
+    p.add_argument("--force", action="store_true")
+    p.add_argument("--header", "--with-header", action="store_true")
+    p.add_argument("--drop-zeros", action="store_true")
+    p.add_argument("--max-filtered-positions", type=int, default=None)
+    p.set_defaults(func=cmd_entropy, command_name="entropy")
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
         ("repair", "project mod tags from donor onto trimmed reads"),
@@ -368,7 +405,6 @@ def build_parser() -> argparse.ArgumentParser:
         ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
-        ("entropy", "methylation entropy in sliding windows"),
         ("modbam", "modBAM utilities (check-tags/sample-reads)"),
     ]:
         q = sub.add_parser(name, help=helptxt)
@@ -700,6 +736,12 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_entropy(args) -> int:
+    from .engines.entropy import run_entropy
+
+    return run_entropy(args)
 
 
 def cmd_stats(args) -> int:

@@ -1,0 +1,722 @@
+"""Methylation (epiallele) entropy in sliding windows of N motif positions.
+
+Reference equivalent: ``src/entropy/``. For each window of `num_positions`
+motif positions (within `window_size` bp), every primary mapped read fully
+covering the window contributes an epiallele string: one symbol per
+position -- '0' canonical, '1'..'9' per modification code, '*' filtered.
+Methylation entropy is ``-(1/N) * sum p log2 p`` over the distribution of
+epiallele patterns, with '*' wildcards fractionally distributed over the
+compatible patterns (entropy/methylation_entropy.rs all_patterns_dp).
+
+Windows mode emits one bedgraph row per window/strand; regions mode emits
+descriptive statistics per BED region plus the windows file.
+"""
+
+from __future__ import annotations
+
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..caller import ThresholdCaller
+from ..io.bam import BamReader
+from ..io.fasta import FastaReader
+from ..modcodes import mod_code_sort_key
+from ..motifs import Motif
+from ..thresholds import percentile_linear_interp
+from ..writers import format_float
+
+STRAND_POS = 0
+STRAND_NEG = 1
+
+
+# ------------------------------------------------------------- entropy ----
+
+
+def _columns_alphabet(sequences: list[str], window_size: int) -> list[str]:
+    """Per-column sorted alphabet of non-'*' symbols
+    (methylation_entropy.rs:15-49 AlphabetInfo)."""
+    cols = [set() for _ in range(window_size)]
+    for seq in sequences:
+        for i, c in enumerate(seq):
+            if c != "*":
+                cols[i].add(c)
+    return ["".join(sorted(c)) for c in cols]
+
+
+def _matches(seq: str, pattern: str) -> bool:
+    """seq (with '*' wildcards) matches a concrete pattern."""
+    return all(s == "*" or s == p for s, p in zip(seq, pattern))
+
+
+def all_patterns_dp(
+    sequences: list[str], window_size: int, columns: list[str]
+) -> list[str]:
+    """methylation_entropy.rs:72-139 -- expand wildcards into the set of
+    concrete patterns consistent with the observed sequences."""
+    uniq = sorted(set(sequences))
+    if not any("*" in s for s in uniq):
+        return uniq
+    acc = set(columns[0])
+    for idx in range(1, window_size):
+        nxt = set()
+        for seq in uniq:
+            prefix = seq[:idx]
+            for pattern in acc:
+                if _matches(prefix, pattern):
+                    last = seq[idx]
+                    if last == "*":
+                        for x in columns[idx]:
+                            nxt.add(pattern + x)
+                    else:
+                        nxt.add(pattern + last)
+        acc = nxt
+    return sorted(acc)
+
+
+def calc_me_entropy(
+    sequences: list[str], window_size: int, constant: float
+) -> np.float32:
+    """methylation_entropy.rs:142-199 (f32 arithmetic)."""
+    columns = _columns_alphabet(sequences, window_size)
+    patterns = all_patterns_dp(sequences, window_size, columns)
+    counts: dict[str, np.float32] = {}
+    for seq in sequences:
+        hits = [p for p in patterns if _matches(seq, p)]
+        factor = np.float32(1.0) / np.float32(len(hits))
+        for p in hits:
+            counts[p] = counts.get(p, np.float32(0.0)) + factor
+    total = np.float32(0.0)
+    for v in counts.values():
+        total = total + v
+    shannon = np.float32(0.0)
+    for v in counts.values():
+        p = v / total
+        shannon = shannon + p * np.float32(np.log2(p))
+    me = np.float32(constant) * (-shannon)
+    if me == np.float32(-0.0):
+        return np.float32(0.0)
+    return me
+
+
+# ------------------------------------------------------------- windows ----
+
+CANONICAL = ("canonical",)
+FILTERED = ("filtered",)
+
+
+@dataclass
+class EntropyWindow:
+    """GenomeWindow (entropy/mod.rs:37-557). Stranded or combined."""
+
+    combine: bool
+    # stranded: per-strand sorted [(base, genome_pos)]; combined:
+    # neg(base,pos) -> pos(base,pos) mapping
+    pos_positions: list | None = None
+    neg_positions: list | None = None
+    neg_to_pos: dict | None = None
+    pos_patterns: list = field(default_factory=list)
+    neg_patterns: list = field(default_factory=list)
+    pos_cov: np.ndarray | None = None
+    neg_cov: np.ndarray | None = None
+
+    def __post_init__(self):
+        n = self.size()
+        if self.combine or self.pos_positions is not None:
+            self.pos_cov = np.zeros(n, dtype=np.int32)
+        if not self.combine and self.neg_positions is not None:
+            self.neg_cov = np.zeros(n, dtype=np.int32)
+
+    def size(self) -> int:
+        if self.combine:
+            return len(self.neg_to_pos)
+        if self.pos_positions is not None:
+            return len(self.pos_positions)
+        return len(self.neg_positions)
+
+    def interval(self, strand: str):
+        """(start, end) of min/max positions for the strand, or None."""
+        if self.combine:
+            ps = [p for (_, p) in self.neg_to_pos] + [
+                p for (_, p) in self.neg_to_pos.values()
+            ]
+            return (min(ps), max(ps))
+        positions = (
+            self.pos_positions if strand == "+" else self.neg_positions
+        )
+        if positions is None:
+            return None
+        ps = [p for (_, p) in positions]
+        if len(ps) == 1:
+            return (ps[0], ps[0] + 1)
+        return (min(ps), max(ps))
+
+    def leftmost(self) -> int:
+        vals = [
+            iv[0]
+            for iv in (self.interval("+"), self.interval("-"))
+            if iv is not None
+        ]
+        return min(vals)
+
+    def rightmost(self) -> int:
+        vals = [
+            iv[1]
+            for iv in (self.interval("+"), self.interval("-"))
+            if iv is not None
+        ]
+        return max(vals)
+
+    def add_read(
+        self,
+        mod_calls: dict,
+        ref_start: int,
+        ref_end: int,
+        strand: str,
+        max_filtered: int,
+    ):
+        """entropy/mod.rs:219-329 add_read_to_patterns."""
+        if ref_start < 0 or ref_end <= ref_start:
+            return
+        iv = self.interval(strand) if not self.combine else self.interval("+")
+        if self.combine:
+            iv = self.interval("+")  # combined interval covers both
+        if iv is None:
+            return
+        if not (ref_start <= iv[0] and ref_end >= iv[1]):
+            return
+        if self.combine:
+            if strand == "+":
+                keys = sorted(
+                    self.neg_to_pos.values(), key=lambda bp: bp[1]
+                )
+                pattern = [mod_calls.get(k, FILTERED) for k in keys]
+            else:
+                items = sorted(
+                    self.neg_to_pos.items(), key=lambda kv: kv[1][1]
+                )
+                pattern = [mod_calls.get(nk, FILTERED) for nk, _pk in items]
+        else:
+            positions = (
+                self.pos_positions if strand == "+" else self.neg_positions
+            )
+            if positions is None:
+                return
+            pattern = [mod_calls.get(k, FILTERED) for k in positions]
+        if sum(1 for c in pattern if c[0] == "filtered") > max_filtered:
+            return
+        cov = self.pos_cov if (self.combine or strand == "+") else self.neg_cov
+        for i, c in enumerate(pattern):
+            if c[0] != "filtered":
+                cov[i] += 1
+        if self.combine or strand == "+":
+            self.pos_patterns.append(pattern)
+        else:
+            self.neg_patterns.append(pattern)
+
+    def _encode(self, patterns, coverages, min_coverage, code_to_char):
+        if not (coverages >= min_coverage).all():
+            if (coverages == 0).all():
+                return "zero-coverage"
+            return "insufficient-coverage"
+        out = []
+        for pat in patterns:
+            chars = []
+            for c in pat:
+                if c[0] == "canonical":
+                    chars.append("0")
+                elif c[0] == "mod":
+                    chars.append(code_to_char[c[2]])
+                else:
+                    chars.append("*")
+            out.append("".join(chars))
+        return out
+
+    def into_entropy(self, min_coverage: int):
+        """-> [(strand, start, end, result)] where result is either a
+        (me_entropy, num_reads) tuple or an error string
+        (entropy/mod.rs:434-544)."""
+        window_size = self.size()
+        constant = 1.0 / window_size
+        codes = sorted(
+            {
+                c[2]
+                for pats in (self.pos_patterns, self.neg_patterns)
+                for pat in pats
+                for c in pat
+                if c[0] == "mod"
+            },
+            key=mod_code_sort_key,
+        )
+        code_to_char = {c: str(i + 1) for i, c in enumerate(codes)}
+        out = []
+        if self.combine or self.pos_positions is not None:
+            iv = self.interval("+")
+            enc = self._encode(
+                self.pos_patterns, self.pos_cov, min_coverage, code_to_char
+            )
+            if isinstance(enc, str):
+                res = enc
+            else:
+                res = (
+                    calc_me_entropy(enc, window_size, constant),
+                    len(enc),
+                )
+            out.append(("+", iv[0], iv[1] + 1, res))
+        if not self.combine and self.neg_positions is not None:
+            iv = self.interval("-")
+            enc = self._encode(
+                self.neg_patterns, self.neg_cov, min_coverage, code_to_char
+            )
+            if isinstance(enc, str):
+                res = enc
+            else:
+                res = (
+                    calc_me_entropy(enc, window_size, constant),
+                    len(enc),
+                )
+            out.append(("-", iv[0], iv[1] + 1, res))
+        return out
+
+
+def sliding_windows(
+    seq: np.ndarray,
+    contig_start: int,
+    motifs: list[Motif],
+    combine_strands: bool,
+    num_positions: int,
+    window_size: int,
+):
+    """Yield EntropyWindows over one contig/region subsequence
+    (entropy/mod.rs:1054-1181 next_window)."""
+    motif_search_adj = max(
+        (m.length for m in motifs if m.length > 1), default=0
+    )
+
+    def find_hits_from(curr: int):
+        end = min(curr + window_size, len(seq))
+        sub_start = max(curr - motif_search_adj, 0)
+        offset = curr - sub_start
+        sub = seq[sub_start:end]
+        pos_hits, neg_hits = [], []
+        all_hits = []
+        for motif in motifs:
+            for pos, strand in motif.find_hits(sub):
+                if pos < offset:
+                    continue
+                rel = pos - offset
+                genome_pos = rel + curr + contig_start
+                base = chr(seq[rel + curr])
+                if strand == STRAND_NEG:
+                    base = _COMPLEMENT[base]
+                neg_position = None
+                if strand == STRAND_POS:
+                    np_ = motif.negative_strand_position(genome_pos)
+                    neg_position = np_
+                all_hits.append((genome_pos, neg_position, strand, base))
+        all_hits.sort(key=lambda h: h[0])
+        for h in all_hits:
+            (pos_hits if h[2] == STRAND_POS else neg_hits).append(h)
+        return pos_hits, neg_hits, end
+
+    curr = _find_start_position(seq, motifs)
+    if curr is None:
+        return
+    while curr < len(seq):
+        pos_hits, neg_hits, end = find_hits_from(curr)
+        window = _enough_hits(
+            pos_hits, neg_hits, combine_strands, num_positions
+        )
+        if window is not None:
+            yield window
+            curr = (window.leftmost() + 1) - contig_start
+        else:
+            hits = sorted(
+                {h[0] - contig_start for h in pos_hits + neg_hits}
+            )
+            if hits:
+                if curr == hits[0]:
+                    curr = hits[1] if len(hits) > 1 else end
+                else:
+                    curr = hits[0]
+            else:
+                curr = end
+
+
+_COMPLEMENT = {"A": "T", "C": "G", "G": "C", "T": "A", "N": "N"}
+
+
+def _find_start_position(seq: np.ndarray, motifs: list[Motif]):
+    hits = [
+        hit[0]
+        for motif in motifs
+        for hit in motif.find_hits(seq)[:1]
+    ]
+    return min(hits) if hits else None
+
+
+def _enough_hits(
+    pos_hits, neg_hits, combine_strands: bool, num_positions: int
+) -> EntropyWindow | None:
+    """entropy/mod.rs:936-1052 enough_hits_for_window."""
+    if combine_strands:
+        neg_to_pos = {}
+        for genome_pos, neg_position, _strand, base in pos_hits[
+            :num_positions
+        ]:
+            if neg_position is not None:
+                neg_to_pos[(base, neg_position)] = (base, genome_pos)
+        if len(neg_to_pos) < num_positions:
+            return None
+        return EntropyWindow(combine=True, neg_to_pos=neg_to_pos)
+    if len(pos_hits) < num_positions and len(neg_hits) < num_positions:
+        return None
+
+    def take(hits):
+        positions = sorted(
+            ((h[3], h[0]) for h in hits[:num_positions]),
+            key=lambda bp: bp[1],
+        )
+        return positions if len(positions) == num_positions else None
+
+    p = take(pos_hits)
+    n = take(neg_hits)
+    if p and n:
+        left_p = min(x[1] for x in p)
+        left_n = min(x[1] for x in n)
+        if left_p < left_n:
+            n = None
+        elif left_n < left_p:
+            p = None
+    if p or n:
+        return EntropyWindow(
+            combine=False, pos_positions=p, neg_positions=n
+        )
+    return None
+
+
+# ------------------------------------------------------------- reads ----
+
+
+def read_mod_calls(rec, caller: ThresholdCaller):
+    """Per-read (base, ref_pos) -> thresholded call map
+    (entropy/mod.rs:1483-1572 process_bam_fp)."""
+    from ..modtags import decode_record
+
+    info = decode_record(rec)
+    qf, rp = rec.aligned_pairs_forward()
+    ref_map = dict(zip(qf.tolist(), rp.tolist()))
+    entries = []
+    strands = set()
+    for base, strand, g in info.iter_groups():
+        codes = list(g.codes)
+        strands.add(strand)
+        for i in range(len(g.positions)):
+            entries.append(
+                (int(g.positions[i]), base, codes, g.probs[i], bool(g.inferred[i]))
+            )
+    if len(strands) > 1:
+        return None  # duplex not supported
+    # union of codes per base across the read (PositionModCalls semantics)
+    codes_per_base: dict[str, list] = {}
+    for _qpos, base, codes, prob_row, _inf in entries:
+        s = codes_per_base.setdefault(base, [])
+        for j, c in enumerate(codes):
+            if prob_row[j] >= 0 and c not in s:
+                s.append(c)
+    for b in codes_per_base:
+        codes_per_base[b] = sorted(codes_per_base[b], key=mod_code_sort_key)
+    mod_calls = {}
+    for qpos, base, codes, prob_row, inferred in entries:
+        ref_pos = ref_map.get(qpos, -1)
+        if ref_pos < 0:
+            continue
+        union = codes_per_base.get(base, [])
+        probs = {}
+        if inferred:
+            for c in union:
+                probs[c] = np.float32(0.0)
+        else:
+            for j, c in enumerate(codes):
+                if prob_row[j] >= 0:
+                    probs[c] = np.float32(prob_row[j])
+            for c in union:
+                if c not in probs:
+                    probs[c] = np.float32(0.0)
+        mod_calls[(base, ref_pos)] = caller.call(base, probs)
+    strand = "-" if rec.is_reverse else "+"
+    return mod_calls, rec.pos, rec.reference_end(), strand
+
+
+# --------------------------------------------------------------- driver ----
+
+
+def _parse_bed3_regions(path: str):
+    """BedRegion::parse_str (entropy/mod.rs:1626-1666)."""
+    out = []
+    for line in open(path):
+        line = line.rstrip("\n")
+        if not line.strip():
+            continue
+        parts = line.split("\t")
+        if len(parts) < 3:
+            raise SystemExit(f"failed to parse {line!r} into BED3 line")
+        chrom, start, stop = parts[0], int(parts[1]), int(parts[2])
+        if stop <= start:
+            raise SystemExit("end must be after start")
+        name = parts[3] if len(parts) > 3 else f"{chrom}:{start}-{stop}"
+        out.append((chrom, start, stop, name))
+    return out
+
+
+def run_entropy(args) -> int:
+    import os
+
+    from ..motifs import parse_motifs
+    from .dmr import SampleIndex  # noqa: F401  (unused; CLI symmetry)
+
+    if args.num_positions < 1:
+        raise SystemExit("num-positions must be at least 1")
+    if args.min_coverage < 1:
+        raise SystemExit("min-valid-coverage must be at least 1")
+
+    # motif configuration (subcommand.rs:237-293)
+    if args.cpg:
+        motifs = parse_motifs(["CG", "0"])
+        combine_strands = True
+    elif args.motif or args.base:
+        raw = list(args.motif or [])
+        motifs = parse_motifs(raw) if raw else []
+        if args.base:
+            if args.combine_strands:
+                raise SystemExit(
+                    "cannot combine strands with single base modifications"
+                )
+            motifs += parse_motifs(
+                [x for b in args.base for x in (b, "0")]
+            )
+        if args.combine_strands and not all(m.is_palindrome for m in motifs):
+            raise SystemExit("motifs must be palindromic to combine strands")
+        combine_strands = args.combine_strands
+    else:
+        raise SystemExit(
+            "invalid input options, must provide --motif, --base, or "
+            "specify --cpg"
+        )
+
+    readers = [BamReader(p) for p in args.in_bam]
+    header = readers[0].header
+    fasta = FastaReader(args.ref)
+    fasta_names = set(fasta.names())
+
+    # threshold caller
+    if args.no_filtering:
+        caller = ThresholdCaller.passthrough()
+    elif args.filter_threshold is not None:
+        from ..cli import parse_mod_thresholds
+
+        per_mod = parse_mod_thresholds(args.mod_thresholds)
+        caller = ThresholdCaller({}, per_mod or {}, args.filter_threshold)
+    else:
+        from ..cli import parse_mod_thresholds
+        from ..thresholds import estimate_thresholds
+
+        per_mod = parse_mod_thresholds(args.mod_thresholds)
+        num_reads = args.num_reads // len(readers)
+        all_probs: dict[str, list] = {}
+        from ..thresholds import sample_reads, confidences_per_base
+
+        agg: dict = {}
+        for reader in readers:
+            sampled = sample_reads(reader, num_reads, None, None, False, None)
+            for b, arr in confidences_per_base(sampled).items():
+                agg.setdefault(b, []).append(arr)
+        per_base = {}
+        from ..modcodes import DNA_BASES
+
+        for b, arrs in agg.items():
+            probs = np.sort(np.concatenate(arrs))
+            per_base[DNA_BASES[b] if isinstance(b, (int, np.integer)) else b] = float(
+                percentile_linear_interp(probs, args.filter_percentile)
+            )
+        print(
+            "calculated thresholds: "
+            + " ".join(f"{b}: {t}" for b, t in per_base.items()),
+            file=sys.stderr,
+        )
+        caller = ThresholdCaller(per_base, per_mod or {}, 0.0)
+
+    max_filtered = (
+        args.max_filtered_positions
+        if args.max_filtered_positions is not None
+        else int(args.num_positions * 0.5)
+    )
+
+    # output writers
+    windows_header = "chrom\tstart\tend\tentropy\tstrand\tnum_reads\n"
+    regions_header = (
+        "chrom\tstart\tend\tregion_name\tmean_entropy\tstrand\t"
+        "median_entropy\tmin_entropy\tmax_entropy\tmean_num_reads\t"
+        "min_num_reads\tmax_num_reads\tsuccessful_window_count\t"
+        "failed_window_count\n"
+    )
+    regions_out = None
+    if args.regions is not None:
+        if args.out_bed is None:
+            raise SystemExit("must provide output directory with regions")
+        os.makedirs(args.out_bed, exist_ok=True)
+        prefix = f"{args.prefix}_" if args.prefix else ""
+        windows_out = open(
+            os.path.join(args.out_bed, f"{prefix}windows.bedgraph"), "w"
+        )
+        regions_out = open(
+            os.path.join(args.out_bed, f"{prefix}regions.bed"), "w"
+        )
+        if args.header:
+            windows_out.write(windows_header)
+            regions_out.write(regions_header)
+    elif args.out_bed is not None:
+        windows_out = open(args.out_bed, "w")
+        if args.header:
+            windows_out.write(windows_header)
+    else:
+        windows_out = sys.stdout
+        if args.header:
+            windows_out.write(windows_header)
+
+    # work units: (tid, contig_start, seq, region_name)
+    work = []
+    if args.regions is not None:
+        for chrom, start, stop, name in _parse_bed3_regions(args.regions):
+            if chrom not in fasta_names or chrom not in header.name_to_tid:
+                continue
+            seq = fasta.fetch(chrom, start, stop)
+            work.append((header.name_to_tid[chrom], start, seq, name))
+    else:
+        for tid, ref in enumerate(header.refs):
+            if ref.name not in fasta_names:
+                continue
+            seq = fasta.fetch(ref.name)
+            work.append((tid, 0, seq, None))
+
+    def uppercase(seq):
+        if args.mask:
+            return seq
+        lower = (seq >= ord("a")) & (seq <= ord("z"))
+        return np.where(lower, seq - 32, seq).astype(np.uint8)
+
+    n_written = n_failed = 0
+
+    def write_window_rows(chrom, rows):
+        nonlocal n_written, n_failed
+        for strand, start, end, res in rows:
+            if isinstance(res, str):
+                n_failed += 1
+                continue
+            entropy, num_reads = res
+            if args.drop_zeros and entropy == np.float32(0.0):
+                continue
+            windows_out.write(
+                f"{chrom}\t{start}\t{end}\t{format_float(entropy)}\t"
+                f"{strand}\t{num_reads}\n"
+            )
+            n_written += 1
+
+    for tid, contig_start, raw_seq, region_name in work:
+        seq = uppercase(raw_seq)
+        chrom = header.tid2name(tid)
+        windows = list(
+            sliding_windows(
+                seq,
+                contig_start,
+                motifs,
+                combine_strands,
+                args.num_positions,
+                args.window_size,
+            )
+        )
+        if not windows:
+            continue
+        lo = min(w.leftmost() for w in windows)
+        hi = max(w.rightmost() for w in windows)
+        for reader in readers:
+            for rec in reader.fetch(tid, lo, hi):
+                if rec.is_unmapped or rec.is_not_primary or rec.l_seq == 0:
+                    continue
+                try:
+                    got = read_mod_calls(rec, caller)
+                except Exception:
+                    continue
+                if got is None:
+                    continue
+                mod_calls, ref_start, ref_end, strand = got
+                for w in windows:
+                    w.add_read(
+                        mod_calls, ref_start, ref_end, strand, max_filtered
+                    )
+        per_window = [w.into_entropy(args.min_coverage) for w in windows]
+        if region_name is not None:
+            # region descriptive stats (entropy/mod.rs:603-692)
+            pos_es, pos_nr, pos_fails = [], [], 0
+            neg_es, neg_nr, neg_fails = [], [], 0
+            for rows in per_window:
+                for strand, _s, _e, res in rows:
+                    if strand == "+":
+                        if isinstance(res, str):
+                            pos_fails += 1
+                        else:
+                            pos_es.append(res[0])
+                            pos_nr.append(res[1])
+                    else:
+                        if isinstance(res, str):
+                            neg_fails += 1
+                        else:
+                            neg_es.append(res[0])
+                            neg_nr.append(res[1])
+            interval = (
+                min(w.leftmost() for w in windows),
+                max(w.rightmost() for w in windows),
+            )
+
+            def stats_row(es, nr, fails, strand):
+                nonlocal n_written, n_failed
+                if not es:
+                    n_failed += 1
+                    return
+                try:
+                    median = percentile_linear_interp(
+                        np.array(es, dtype=np.float32), 0.5
+                    )
+                except Exception:
+                    n_failed += 1
+                    return
+                mean_e = np.float32(sum(np.float32(x) for x in es)) / np.float32(len(es))
+                mean_nr = np.float32(sum(nr)) / np.float32(len(nr))
+                regions_out.write(
+                    f"{chrom}\t{interval[0]}\t{interval[1]}\t{region_name}\t"
+                    f"{format_float(mean_e)}\t{strand}\t"
+                    f"{format_float(median)}\t{format_float(min(es))}\t"
+                    f"{format_float(max(es))}\t{format_float(mean_nr)}\t"
+                    f"{min(nr)}\t{max(nr)}\t{len(es)}\t{fails}\n"
+                )
+                n_written += 1
+
+            stats_row(pos_es, pos_nr, pos_fails, "+")
+            if neg_es or neg_fails:
+                stats_row(neg_es, neg_nr, neg_fails, "-")
+            for rows in per_window:
+                write_window_rows(chrom, rows)
+        else:
+            for rows in per_window:
+                write_window_rows(chrom, rows)
+
+    if windows_out is not sys.stdout:
+        windows_out.close()
+    if regions_out is not None:
+        regions_out.close()
+    print(
+        f"finished, {n_written} rows written, {n_failed} windows failed",
+        file=sys.stderr,
+    )
+    return 0

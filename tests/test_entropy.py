@@ -1,0 +1,142 @@
+"""Methylation entropy: pattern DP, entropy math (reference unit-test
+values), and the end-to-end regions regression."""
+
+import numpy as np
+import pytest
+
+RES = "/root/reference/tests/resources"
+
+
+def test_calc_entropy_reference_values():
+    """methylation_entropy.rs test_calc_entropy."""
+    from modkit_tpu.engines.entropy import calc_me_entropy
+
+    assert calc_me_entropy(["0000"] * 4, 4, 0.25) == 0.0
+    assert calc_me_entropy(["1111"] * 4, 4, 0.25) == 0.0
+    assert calc_me_entropy(["0010"] * 4, 4, 0.25) == 0.0
+    assert calc_me_entropy(["1111"] * 4 + ["0000"] * 4, 4, 0.25) == 0.25
+    assert (
+        calc_me_entropy(
+            ["1111", "1111", "0011", "0011", "1100", "1100", "0000", "0000"],
+            4,
+            0.25,
+        )
+        == 0.5
+    )
+    assert calc_me_entropy(
+        ["0000", "1111", "0101", "0111", "0111", "0111", "0000", "1111"],
+        4,
+        0.25,
+    ) == pytest.approx(0.47640976, abs=1e-6)
+
+
+def test_calc_entropy_wildcards():
+    """methylation_entropy.rs test_calc_entropy_wildcards."""
+    from modkit_tpu.engines.entropy import (
+        _columns_alphabet,
+        all_patterns_dp,
+        calc_me_entropy,
+    )
+
+    seqs = ["1*01", "1111", "1011", "1111"]
+    cols = _columns_alphabet(seqs, 4)
+    assert all_patterns_dp(seqs, 4, cols) == [
+        "1001", "1011", "1101", "1111",
+    ]
+    assert calc_me_entropy(seqs, 4, 1.0) == pytest.approx(1.75, abs=1e-6)
+
+    seqs = ["1*11", "1111", "1011", "1111"]
+    cols = _columns_alphabet(seqs, 4)
+    assert all_patterns_dp(seqs, 4, cols) == ["1011", "1111"]
+    assert calc_me_entropy(seqs, 4, 1.0) == pytest.approx(
+        0.95443404, abs=1e-6
+    )
+
+    seqs = ["*010", "1010", "0010"]
+    cols = _columns_alphabet(seqs, 4)
+    assert all_patterns_dp(seqs, 4, cols) == ["0010", "1010"]
+    assert calc_me_entropy(seqs, 4, 1.0) == pytest.approx(1.0, abs=1e-6)
+
+    assert calc_me_entropy(["1010"] * 4, 4, 1.0) == 0.0
+
+
+def test_entropy_regions_regression(tmp_path):
+    """tests/test_entropy.rs test_entropy_regression (the reference's own
+    golden byte-check is disabled as stale; we check the structure and the
+    window whose entropy is stable across threshold estimation)."""
+    from modkit_tpu.cli import main
+
+    out_dir = tmp_path / "entropy"
+    rc = main(
+        [
+            "entropy",
+            "-s", f"{RES}/bc_anchored_10_reads.sorted.bam",
+            "-o", str(out_dir),
+            "--min-coverage", "1",
+            "--ref", f"{RES}/CGI_ladder_3.6kb_ref.fa",
+            "--regions", f"{RES}/entropy_test_regions.bed",
+            "--prefix", "prefix_test",
+            "--cpg",
+            "--force",
+        ]
+    )
+    assert rc == 0
+    regions = (out_dir / "prefix_test_regions.bed").read_text()
+    windows = (out_dir / "prefix_test_windows.bedgraph").read_text()
+    region_rows = [r.split("\t") for r in regions.rstrip("\n").split("\n")]
+    # only region0 has coverage; regions 1-3 fail
+    assert len(region_rows) == 1
+    r = region_rows[0]
+    assert r[0] == "oligo_1512_adapters"
+    assert r[3] == "region0"
+    assert r[5] == "+"
+    assert (r[10], r[11], r[12], r[13]) == ("10", "10", "2", "0")
+    win_rows = [w.split("\t") for w in windows.rstrip("\n").split("\n")]
+    assert len(win_rows) == 2
+    # CpG C-positions 63,69,72,90,93: first window {63,69,72,90} spans to
+    # the G at 91 (+1 exclusive = 92); second {69,72,90,93} to 94 (+1 = 95)
+    assert [(w[0], w[1], w[2], w[4], w[5]) for w in win_rows] == [
+        ("oligo_1512_adapters", "63", "92", "+", "10"),
+        ("oligo_1512_adapters", "69", "95", "+", "10"),
+    ]
+    # the second window's entropy is threshold-insensitive on this input
+    # and matches the reference golden to f32 precision
+    assert float(win_rows[1][3]) == pytest.approx(0.5430143, abs=1e-6)
+    # region mean = mean of window entropies
+    es = [float(w[3]) for w in win_rows]
+    assert float(r[4]) == pytest.approx(np.mean(es), abs=1e-6)
+    # min/max columns
+    assert float(r[7]) == pytest.approx(min(es), abs=1e-6)
+    assert float(r[8]) == pytest.approx(max(es), abs=1e-6)
+
+
+def test_entropy_windows_mode_stranded(tmp_path):
+    """--base C without combining: windows on both strands, sorted."""
+    from modkit_tpu.cli import main
+
+    out = tmp_path / "wins.bedgraph"
+    rc = main(
+        [
+            "entropy",
+            "-s", f"{RES}/bc_anchored_10_reads.sorted.bam",
+            "-o", str(out),
+            "--min-coverage", "1",
+            "--ref", f"{RES}/CGI_ladder_3.6kb_ref.fa",
+            "--base", "C",
+            "--no-filtering",
+            "--header",
+            "--force",
+        ]
+    )
+    assert rc == 0
+    lines = out.read_text().rstrip("\n").split("\n")
+    assert lines[0] == "chrom\tstart\tend\tentropy\tstrand\tnum_reads"
+    rows = [l.split("\t") for l in lines[1:]]
+    assert rows
+    strands = {r[4] for r in rows}
+    assert strands <= {"+", "-"}
+    for r in rows:
+        assert int(r[1]) < int(r[2])
+        e = float(r[3])
+        assert 0.0 <= e <= 2.01  # entropy bounded by log2(alphabet)
+        assert int(r[5]) >= 1
