@@ -398,10 +398,29 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-filtered-positions", type=int, default=None)
     p.set_defaults(func=cmd_entropy, command_name="entropy")
 
+    # ---- validate (validate/subcommand.rs:797-889) ----
+    p = sub.add_parser("validate", help="accuracy vs ground-truth BEDs")
+    p.add_argument("--bam-and-bed", nargs=2, action="extend", default=[],
+                   metavar=("BAM", "BED"))
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("-c", "--canonical-base", default=None,
+                   choices=["A", "C", "G", "T"])
+    p.add_argument("--min-identity", type=float, default=None)
+    p.add_argument("--min-length", type=int, default=None)
+    p.add_argument("-p", "--filter-quantile", type=float, default=0.1)
+    p.add_argument("--filter-threshold", "--pass_threshold", type=float,
+                   default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--suppress-progress", action="store_true")
+    p.add_argument("-o", "--out-filepath", "--out", default=None)
+    p.add_argument("--log-filepath", "--log", default=None)
+    p.set_defaults(func=cmd_validate, command_name="validate")
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
         ("repair", "project mod tags from donor onto trimmed reads"),
-        ("validate", "accuracy vs ground-truth BEDs"),
         ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
@@ -736,6 +755,12 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_validate(args) -> int:
+    from .engines.validate import run_validate
+
+    return run_validate(args)
 
 
 def cmd_entropy(args) -> int:
