@@ -418,9 +418,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log-filepath", "--log", default=None)
     p.set_defaults(func=cmd_validate, command_name="validate")
 
+    # ---- repair (repair_tags.rs:23-44) ----
+    p = sub.add_parser(
+        "repair", help="project mod tags from donor onto trimmed reads"
+    )
+    p.add_argument("-d", "--donor-bam", "--donor", required=True,
+                   dest="donor")
+    p.add_argument("-a", "--acceptor-bam", "--acceptor", required=True,
+                   dest="acceptor")
+    p.add_argument("-o", "--output-bam", "--output", required=True,
+                   dest="output")
+    p.add_argument("--log-filepath", default=None)
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.set_defaults(func=cmd_repair, command_name="repair")
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
-        ("repair", "project mod tags from donor onto trimmed reads"),
         ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
@@ -755,6 +768,12 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_repair(args) -> int:
+    from .engines.repair import run_repair
+
+    return run_repair(args)
 
 
 def cmd_validate(args) -> int:
