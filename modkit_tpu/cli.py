@@ -432,9 +432,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-t", "--threads", type=int, default=4)
     p.set_defaults(func=cmd_repair, command_name="repair")
 
+    # ---- pileup-hemi (pileup/subcommand.rs:827+) ----
+    p = sub.add_parser(
+        "pileup-hemi", help="double-stranded (hemi) pattern pileup"
+    )
+    p.add_argument("in_bam")
+    p.add_argument("-o", "--out-bed", default=None)
+    p.add_argument("--cpg", action="store_true")
+    p.add_argument("--motif", nargs=2, default=None)
+    p.add_argument("-r", "--ref", "--reference", required=True)
+    p.add_argument("--region", default=None)
+    p.add_argument("--ignore", default=None)
+    p.add_argument("--combine-mods", action="store_true")
+    p.add_argument("--edge-filter", default=None)
+    p.add_argument("--invert-edge-filter", action="store_true")
+    p.add_argument("--force-allow-implicit", action="store_true")
+    p.add_argument("-n", "--num-reads", type=int, default=10042)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
+    p.add_argument("--filter-threshold", action="append", default=None)
+    p.add_argument("--mod-thresholds", "--mod-threshold", action="append",
+                   default=None)
+    p.add_argument("--no-filtering", action="store_true")
+    p.add_argument("-i", "--interval-size", type=int, default=100_000)
+    p.add_argument("--max-depth", type=int, default=8000)
+    p.add_argument("--mixed-delim", action="store_true")
+    p.add_argument("-t", "--threads", type=int, default=4)
+    p.add_argument("--log-filepath", "--log", default=None)
+    p.add_argument("--suppress-progress", action="store_true")
+    p.set_defaults(func=cmd_pileup_hemi, command_name="pileup-hemi")
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
-        ("pileup-hemi", "double-stranded (hemi) pattern pileup"),
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
         ("modbam", "modBAM utilities (check-tags/sample-reads)"),
@@ -768,6 +797,12 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_pileup_hemi(args) -> int:
+    from .engines.pileup_hemi import run_pileup_hemi
+
+    return run_pileup_hemi(args)
 
 
 def cmd_repair(args) -> int:
