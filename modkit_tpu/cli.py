@@ -462,11 +462,38 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suppress-progress", action="store_true")
     p.set_defaults(func=cmd_pileup_hemi, command_name="pileup-hemi")
 
+    # ---- modbam check-tags (modbam_util/subcommands.rs:44-115) ----
+    p = sub.add_parser(
+        "modbam", aliases=["mb"], help="modBAM utilities"
+    )
+    msub = p.add_subparsers(dest="modbam_mode", required=True)
+    q = msub.add_parser("check-tags", help="audit MM/ML tag validity")
+    q.add_argument("in_bam")
+    q.add_argument("--permissive", action="store_true")
+    q.add_argument("-o", "--out-dir", default=None)
+    q.add_argument("-f", "--force", action="store_true")
+    q.add_argument("--prefix", default=None)
+    q.add_argument("-t", "--threads", type=int, default=4)
+    q.add_argument("--ignore-index", action="store_true")
+    q.add_argument("-i", "--interval-size", type=int, default=5_000_000)
+    q.add_argument("--log-filepath", "--log", default=None)
+    q.add_argument("--suppress-progress", action="store_true")
+    q.add_argument("-n", "--num-reads", type=int, default=None)
+    q.add_argument("--check-secondary", action="store_true",
+                   dest="allow_non_primary")
+    q.add_argument("--only-mapped", action="store_true")
+    q.add_argument("--region", default=None)
+    q.set_defaults(func=cmd_modbam_check_tags, command_name="modbam check-tags")
+    q = msub.add_parser("sample-reads")
+    q.add_argument("in_bam")
+    q.set_defaults(
+        func=cmd_modbam_sample_reads, command_name="modbam sample-reads"
+    )
+
     # ---- placeholders wired as engines land ----
     for name, helptxt in [
         ("find-motifs", "motif discovery from bedMethyl"),
         ("motif", "motif utilities (search/refine/evaluate/bed)"),
-        ("modbam", "modBAM utilities (check-tags/sample-reads)"),
     ]:
         q = sub.add_parser(name, help=helptxt)
         q.set_defaults(func=None, command_name=name)
@@ -797,6 +824,18 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_modbam_check_tags(args) -> int:
+    from .engines.modbam_util import run_check_tags
+
+    return run_check_tags(args)
+
+
+def cmd_modbam_sample_reads(args) -> int:
+    from .engines.modbam_util import run_sample_reads
+
+    return run_sample_reads(args)
 
 
 def cmd_pileup_hemi(args) -> int:
