@@ -490,13 +490,84 @@ def build_parser() -> argparse.ArgumentParser:
         func=cmd_modbam_sample_reads, command_name="modbam sample-reads"
     )
 
-    # ---- placeholders wired as engines land ----
-    for name, helptxt in [
-        ("find-motifs", "motif discovery from bedMethyl"),
-        ("motif", "motif utilities (search/refine/evaluate/bed)"),
-    ]:
-        q = sub.add_parser(name, help=helptxt)
-        q.set_defaults(func=None, command_name=name)
+    # ---- motif search/refine/evaluate/bed (find_motifs/) ----
+    def _add_motif_input(q):
+        q.add_argument("-i", "--in-bedmethyl", required=True)
+        q.add_argument("-t", "--threads", type=int, default=4)
+        q.add_argument("--io-threads", type=int, default=2)
+        q.add_argument("-r", "--ref", required=True)
+        q.add_argument("--contig", default=None)
+        q.add_argument("--log-filepath", "--log", default=None)
+        q.add_argument("--suppress-progress", action="store_true")
+
+    def _add_refine_args(q):
+        q.add_argument("--low-thresh", type=float, default=0.2)
+        q.add_argument("--high-thresh", type=float, default=0.6)
+        q.add_argument("--min-log-odds", type=float, default=1.5)
+        q.add_argument("--exhaustive-seed-min-log-odds", type=float,
+                       default=2.5)
+        q.add_argument("--exhaustive-seed-len", type=int, default=3)
+        q.add_argument("--skip-search", action="store_true")
+        q.add_argument("--min-coverage", type=int, default=5)
+        q.add_argument("--context-size", nargs=2, type=int, default=[12, 12])
+        q.add_argument("--min-sites", type=int, default=300)
+        q.add_argument("--min-frac-mod", type=float, default=0.85)
+
+    def _add_known_motifs(q):
+        q.add_argument("--known-motif", nargs=3, action="extend", default=None)
+        q.add_argument("--known-motifs-table", default=None)
+
+    p = sub.add_parser("motif", help="motif utilities")
+    fsub = p.add_subparsers(dest="motif_mode", required=True)
+    q = fsub.add_parser("search", help="discover enriched motifs")
+    _add_motif_input(q)
+    _add_refine_args(q)
+    _add_known_motifs(q)
+    q.add_argument("-o", "--out-table", default=None)
+    q.add_argument("--eval-motifs-table", default=None)
+    q.add_argument("--init-context-size", nargs=2, type=int, default=[2, 2])
+    q.add_argument("--mod-code", action="append", default=None)
+    q.add_argument("--force-override-spec", action="store_true")
+    q.set_defaults(func=cmd_motif_search, command_name="motif search")
+    q = fsub.add_parser("refine", help="refine known motifs")
+    _add_motif_input(q)
+    _add_known_motifs(q)
+    _add_refine_args(q)
+    q.add_argument("--out", default=None)
+    q.add_argument("--min_refine_frac_mod", type=float, default=0.6,
+                   dest="min_refine_frac_mod")
+    q.add_argument("--min-refine-sites", type=int, default=300)
+    q.add_argument("--force-override-spec", action="store_true")
+    q.set_defaults(func=cmd_motif_refine, command_name="motif refine")
+    q = fsub.add_parser("evaluate", help="score known motifs")
+    _add_motif_input(q)
+    _add_known_motifs(q)
+    q.add_argument("--out", default=None)
+    q.add_argument("--force-override-spec", action="store_true")
+    q.add_argument("--min-coverage", type=int, default=5)
+    q.add_argument("--context-size", nargs=2, type=int, default=[12, 12])
+    q.add_argument("--low-thresh", type=float, default=0.2)
+    q.add_argument("--high-thresh", type=float, default=0.6)
+    q.add_argument("--suppress-table", action="store_true")
+    q.set_defaults(func=cmd_motif_evaluate, command_name="motif evaluate")
+    q = fsub.add_parser("bed", help="emit motif locations BED")
+    q.add_argument("fasta")
+    q.add_argument("motif")
+    q.add_argument("offset", type=int)
+    q.add_argument("-k", "--mask", action="store_true")
+    q.set_defaults(func=cmd_motif_bed, command_name="motif bed")
+
+    # find-motifs = deprecated alias of motif search
+    q = sub.add_parser("find-motifs", help="motif discovery from bedMethyl")
+    _add_motif_input(q)
+    _add_refine_args(q)
+    _add_known_motifs(q)
+    q.add_argument("-o", "--out-table", default=None)
+    q.add_argument("--eval-motifs-table", default=None)
+    q.add_argument("--init-context-size", nargs=2, type=int, default=[2, 2])
+    q.add_argument("--mod-code", action="append", default=None)
+    q.add_argument("--force-override-spec", action="store_true")
+    q.set_defaults(func=cmd_motif_search, command_name="find-motifs")
 
     return ap
 
@@ -824,6 +895,30 @@ def cmd_sample_probs(args) -> int:
     else:
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
+
+
+def cmd_motif_search(args) -> int:
+    from .engines.find_motifs import run_motif_search
+
+    return run_motif_search(args)
+
+
+def cmd_motif_refine(args) -> int:
+    from .engines.find_motifs import run_motif_refine
+
+    return run_motif_refine(args)
+
+
+def cmd_motif_evaluate(args) -> int:
+    from .engines.find_motifs import run_motif_evaluate
+
+    return run_motif_evaluate(args)
+
+
+def cmd_motif_bed(args) -> int:
+    from .engines.motif_bed import run_motif_bed
+
+    return run_motif_bed(args)
 
 
 def cmd_modbam_check_tags(args) -> int:
