@@ -87,6 +87,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("in_bam")
     p.add_argument("out_bed")
     p.add_argument("-i", "--interval-size", type=int, default=100_000)
+    p.add_argument("--journal", default=None,
+                   help="per-tile completion journal enabling resume")
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--max-depth", type=int, default=8000)
     p.add_argument("--region", default=None)
@@ -617,6 +619,7 @@ def cmd_pileup(args) -> int:
         preset=args.preset,
         include_bed=args.include_bed,
         sampling_interval_size=args.sampling_interval_size,
+        journal=args.journal,
     )
     stats = run_pileup(cfg)
     if stats["errors"]:

@@ -8,6 +8,7 @@ percentile on device (thresholds.py).
 
 from __future__ import annotations
 
+import os
 import sys
 from dataclasses import dataclass, field
 
@@ -50,6 +51,12 @@ class PileupConfig:
     preset: str | None = None  # "traditional"
     include_bed: str | None = None  # --include-positions
     with_motif_labels_threshold: int = 2
+    # per-tile completion journal: completed tiles are recorded as JSON
+    # lines; re-running with the same journal resumes after the last
+    # completed tile (the TPU-native answer to the reference's
+    # "--region sharding for resumability" guidance,
+    # book/src/perf_considerations.md:3-9 / SURVEY Section 5)
+    journal: str | None = None
 
 
 def parse_region(region: str, header) -> tuple[int, int, int]:
@@ -142,10 +149,34 @@ def run_pileup(cfg: PileupConfig) -> dict:
     proc = TileProcessor(caller, opts)
 
     motif_labels = [m.label() for m in motifs] if motifs else []
+    completed_tiles: dict = {}
+    journal_fh = None
+    if cfg.journal is not None:
+        import json as _json
+
+        if cfg.out in ("-", "stdout") or cfg.bedgraph:
+            raise ValueError(
+                "--journal requires a bedMethyl file output path"
+            )
+        if os.path.exists(cfg.journal):
+            for line in open(cfg.journal):
+                if line.strip():
+                    rec = _json.loads(line)
+                    completed_tiles[(rec["tid"], rec["start"])] = rec
+        journal_fh = open(cfg.journal, "a")
+
     if cfg.bedgraph:
         writer = BedGraphWriter(cfg.out, cfg.prefix)
     elif cfg.out in ("-", "stdout"):
         writer = BedMethylWriter(sys.stdout, cfg.mixed_delimiters, cfg.with_header)
+    elif completed_tiles:
+        # resume: truncate any partially-written tail past the last
+        # completed tile's recorded output size, then append
+        good_size = max(r["out_size"] for r in completed_tiles.values())
+        with open(cfg.out, "r+") as fh:
+            fh.truncate(good_size)
+        out_fh = open(cfg.out, "a")
+        writer = BedMethylWriter(out_fh, cfg.mixed_delimiters, False)
     else:
         writer = BedMethylWriter(cfg.out, cfg.mixed_delimiters, cfg.with_header)
 
@@ -188,14 +219,36 @@ def run_pileup(cfg: PileupConfig) -> dict:
                     position_filter.rule_array(tid, start, end),
                     {}, {}, {},
                 )
+            done = completed_tiles.get((tid, start))
+            if done is not None:
+                start = done["end"]
+                continue
             if focus is None or (focus.rule >= 0).any():
                 for _pos, rows in proc.process_tile(
                     reader, tid, start, end, focus
                 ):
                     writer.write_rows(chrom, rows, motif_labels)
                     n_rows += len(rows)
+            if journal_fh is not None:
+                import json as _json
+
+                writer.flush()
+                journal_fh.write(
+                    _json.dumps(
+                        {
+                            "tid": tid,
+                            "start": start,
+                            "end": end,
+                            "out_size": writer.tell(),
+                        }
+                    )
+                    + "\n"
+                )
+                journal_fh.flush()
             start = end
     writer.close()
+    if journal_fh is not None:
+        journal_fh.close()
     return dict(
         rows=n_rows,
         reads_used=proc.n_used,

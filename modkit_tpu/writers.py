@@ -102,6 +102,12 @@ class BedMethylWriter:
         if with_header:
             self._fh.write("\t".join(HEADER_FIELDS) + "\n")
 
+    def flush(self):
+        self._fh.flush()
+
+    def tell(self) -> int:
+        return self._fh.tell()
+
     def write_rows(self, chrom: str, rows, motif_labels=()):
         tab, sp = "\t", self.space
         raw_code_only = len(motif_labels) < 2
@@ -161,6 +167,12 @@ class BedGraphWriter:
             fh = open(os.path.join(self.out_dir, name), "w")
             self._files[key] = fh
         return fh
+
+    def flush(self):
+        self._fh.flush()
+
+    def tell(self) -> int:
+        return self._fh.tell()
 
     def write_rows(self, chrom: str, rows, motif_labels=()):
         for r in rows:

@@ -88,3 +88,41 @@ def test_pileup_ignore_h(resources, tmp_path):
     with open(out) as fh:
         for line in fh:
             assert line.split("\t")[3] == "m"
+
+
+def test_pileup_journal_resume(tmp_path, resources):
+    """Per-tile journal: interrupting and resuming reproduces the golden
+    byte-for-byte (SURVEY Section 5 checkpoint/resume)."""
+    import json
+
+    from modkit_tpu.pileup.runner import PileupConfig, run_pileup
+
+    bam = f"{resources}/bc_anchored_10_reads.sorted.bam"
+    out = tmp_path / "full.bed"
+    journal = tmp_path / "journal.jsonl"
+    run_pileup(
+        PileupConfig(
+            in_bam=bam, out=str(out), interval_size=25, no_filtering=True,
+            journal=str(journal),
+        )
+    )
+    full = out.read_text()
+    # simulate a crash: keep half the journal, leave a garbage tail
+    lines = [json.loads(l) for l in open(journal) if l.strip()]
+    half = lines[: len(lines) // 2]
+    j2 = tmp_path / "j2.jsonl"
+    with open(j2, "w") as fh:
+        for r in half:
+            fh.write(json.dumps(r) + "\n")
+    good = max(r["out_size"] for r in half)
+    out2 = tmp_path / "resume.bed"
+    out2.write_bytes(full.encode()[: good + 37])
+    run_pileup(
+        PileupConfig(
+            in_bam=bam, out=str(out2), interval_size=25, no_filtering=True,
+            journal=str(j2),
+        )
+    )
+    assert out2.read_text() == full
+    golden = open(f"{resources}/modbam.modpileup_nofilt.methyl.bed").read()
+    assert full == golden
