@@ -121,14 +121,24 @@ def parse_mm_subtag(raw: str) -> MmSubTag:
         deltas = np.empty(0, dtype=np.int64)
     else:
         tail = raw[head_end + 1 :]
-        try:
-            deltas = (
-                np.array(tail.split(","), dtype=np.int64)
-                if tail
-                else np.empty(0, dtype=np.int64)
-            )
-        except ValueError as e:
-            raise ModKitError(INVALID_MM, f"invalid delta list: {e}")
+        if not tail:
+            deltas = np.empty(0, dtype=np.int64)
+        else:
+            # fast path: C-level text parse; np.fromstring silently stops
+            # at the first invalid token, so verify the count and fall
+            # back to the strict parser for the error message
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                deltas = np.fromstring(tail, dtype=np.int64, sep=",")
+            if len(deltas) != tail.count(",") + 1 or (deltas < 0).any():
+                try:
+                    deltas = np.array(tail.split(","), dtype=np.int64)
+                    if (deltas < 0).any():
+                        raise ValueError("negative delta")
+                except ValueError as e:
+                    raise ModKitError(INVALID_MM, f"invalid delta list: {e}")
     return MmSubTag(base, strand, mode, codes, deltas)
 
 

@@ -260,12 +260,24 @@ def decode_counts(
 
     active = np.flatnonzero(valid_nd.any(axis=(1, 2)))
     out = []
-    order_key = [mod_code_sort_key(c) for c in vocab]
-    for pi in active:
-        abs_pos = tile_start + int(pi)
+    # batch-convert the active slices to nested Python lists: one C-level
+    # pass instead of per-element numpy scalar extraction in the hot loop
+    can_l = can_nd[active].tolist()
+    mods_l = mods_nd[active].tolist()
+    mods_sum_l = mods_nd[active].sum(axis=3).tolist()
+    nocall_l = nocall_nd[active].tolist()
+    valid_l = valid_nd[active].tolist()
+    total_valid_l = total_valid[active].tolist()
+    total_nocall_l = total_nocall[active].tolist()
+    delfilt_l = counts[active][:, :, :2].tolist()
+    observed_l = observed[active].tolist() if not combine_mods else None
+    f32 = np.float32
+    strand_chars = ("+", "-")
+    for ai, pi in enumerate(active.tolist()):
+        abs_pos = tile_start + pi
         rows: list[PileupRow] = []
         for s in (0, 1):
-            strand_ch = "+" if s == 0 else "-"
+            strand_ch = strand_chars[s]
             if focus is not None:
                 ids = (
                     focus.pos_motif_ids.get(abs_pos)
@@ -275,21 +287,19 @@ def decode_counts(
                 id_list = ids if ids else [None]
             else:
                 id_list = [None]
-            n_del = int(counts[pi, s, 0])
-            n_filt = int(counts[pi, s, 1])
+            n_del, n_filt = delfilt_l[ai][s]
+            tv = total_valid_l[ai][s]
+            tn = total_nocall_l[ai][s]
             for b in range(4):
-                valid = int(valid_nd[pi, s, b])
+                valid = valid_l[ai][s][b]
                 if valid == 0:
                     continue
-                n_can = int(can_nd[pi, s, b])
-                n_nocall = int(nocall_nd[pi, s, b])
-                n_diff = int(
-                    (total_valid[pi, s] - valid)
-                    + (total_nocall[pi, s] - n_nocall)
-                )
+                n_can = can_l[ai][s][b]
+                n_nocall = nocall_l[ai][s][b]
+                n_diff = (tv - valid) + (tn - n_nocall)
                 if combine_mods:
                     n_mod_total = valid - n_can
-                    frac = np.float32(n_mod_total) / np.float32(valid)
+                    frac = f32(n_mod_total) / f32(valid)
                     for idx in id_list:
                         rows.append(
                             PileupRow(
@@ -300,12 +310,15 @@ def decode_counts(
                             )
                         )
                 else:
+                    mrow = mods_l[ai][s][b]
+                    msum = mods_sum_l[ai][s][b]
+                    orow = observed_l[ai][s][b]
                     for j in range(m):
-                        if not observed[pi, s, b, j]:
+                        if not orow[j]:
                             continue
-                        n_mod = int(mods_nd[pi, s, b, j])
-                        n_other = int(mods_nd[pi, s, b].sum()) - n_mod
-                        frac = np.float32(n_mod) / np.float32(valid)
+                        n_mod = mrow[j]
+                        n_other = msum - n_mod
+                        frac = f32(n_mod) / f32(valid)
                         for idx in id_list:
                             rows.append(
                                 PileupRow(
