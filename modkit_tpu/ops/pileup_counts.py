@@ -95,6 +95,114 @@ def threshold_states(probs, base_idx, thr_mod, thr_can):
 @functools.partial(
     jax.jit, static_argnames=("num_positions", "num_codes")
 )
+def modcall_count_kernel(
+    rpos,  # i32 [N] tile-relative reference position
+    strand,  # i32 [N] tally strand after strand-rule routing (0 +, 1 -)
+    base_idx,  # i32 [N] primary/count base (ACGT = 0..3)
+    probs,  # f32 [N, M]
+    valid,  # bool [N]
+    thr_mod,  # f32 [M, 4]
+    thr_can,  # f32 [4]
+    *,
+    num_positions: int,
+    num_codes: int,
+):
+    """Fused threshold-call + scatter-add over sparse mod-call candidates.
+
+    Only probability-bearing events reach the device (nocall/delete coverage
+    histograms are host-side bincounts); output layout per (position,
+    strand) is ``Km = 1 + 4 * (M + 1)``:
+
+        0                  n_filtered
+        1 + b*(M+1) + 0    n_canonical for base b
+        1 + b*(M+1) + 1+j  n_mod for base b, mod code j
+    """
+    m = num_codes
+    km = 1 + 4 * (m + 1)
+    state, _ = threshold_states(probs, base_idx, thr_mod, thr_can)
+    counter = jnp.where(state == 0, 0, 1 + base_idx * (m + 1) + (state - 1))
+    flat = (rpos * 2 + strand) * km + counter
+    flat = jnp.where(valid, flat, 0)
+    counts = jnp.zeros((num_positions * 2 * km,), jnp.int32).at[flat].add(
+        valid.astype(jnp.int32)
+    )
+    return counts.reshape(num_positions, 2, km)
+
+
+def run_modcall_counts(
+    rpos: np.ndarray,
+    strand: np.ndarray,
+    base_idx: np.ndarray,
+    probs: np.ndarray,
+    thr_mod: np.ndarray,
+    thr_can: np.ndarray,
+    num_positions: int,
+) -> np.ndarray:
+    """Host wrapper: pad events/positions/codes to buckets (bounding jit
+    specializations), run the mod-call kernel, return numpy counts
+    [num_positions, 2, Km(m_pad)] where m_pad = round_up_codes(m)."""
+    n = len(rpos)
+    m = probs.shape[1] if probs.ndim == 2 else 1
+    m_pad = round_up_codes(max(m, 1))
+    km = 1 + 4 * (m_pad + 1)
+    if n == 0:
+        return np.zeros((num_positions, 2, km), dtype=np.int32)
+    p_pad = round_up_positions(num_positions)
+    nb = round_up_events(n)
+    pad = nb - n
+
+    def pad1(a):
+        return np.pad(a, (0, pad))
+
+    probs_p = np.pad(
+        probs, ((0, pad), (0, m_pad - m)), constant_values=-1.0
+    )
+    thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
+    valid = np.zeros(nb, dtype=bool)
+    valid[:n] = True
+    out = modcall_count_kernel(
+        jnp.asarray(pad1(rpos).astype(np.int32)),
+        jnp.asarray(pad1(strand).astype(np.int32)),
+        jnp.asarray(pad1(base_idx).astype(np.int32)),
+        jnp.asarray(probs_p.astype(np.float32)),
+        jnp.asarray(valid),
+        jnp.asarray(thr_mod_p.astype(np.float32)),
+        jnp.asarray(thr_can.astype(np.float32)),
+        num_positions=p_pad,
+        num_codes=m_pad,
+    )
+    return np.asarray(out)[:num_positions]
+
+
+def modcall_counts_numpy(
+    rpos, strand, base_idx, probs, thr_mod, thr_can, p, m
+) -> np.ndarray:
+    """Pure-numpy oracle of modcall_count_kernel (tests / host fallback)."""
+    km = 1 + 4 * (m + 1)
+    if len(rpos) == 0:
+        return np.zeros((p, 2, km), dtype=np.int32)
+    present = probs >= 0
+    thr_e = thr_mod.T[base_idx]
+    pass_mod = present & (probs >= thr_e)
+    canon_p = np.float32(1.0) - np.where(present, probs, 0).sum(
+        axis=1, dtype=np.float32
+    )
+    pass_can = canon_p >= thr_can[base_idx]
+    mod_p = np.where(pass_mod, probs, -np.inf)
+    rev_arg = (m - 1) - np.argmax(mod_p[:, ::-1], axis=1)
+    best_p = np.take_along_axis(mod_p, rev_arg[:, None], axis=1)[:, 0]
+    any_mod = pass_mod.any(axis=1)
+    choose_can = pass_can & ((~any_mod) | (canon_p >= best_p))
+    state = np.where(choose_can, 1, np.where(any_mod, 2 + rev_arg, 0))
+    counter = np.where(state == 0, 0, 1 + base_idx * (m + 1) + (state - 1))
+    flat = (rpos.astype(np.int64) * 2 + strand) * km + counter
+    counts = np.bincount(flat, minlength=p * 2 * km).astype(np.int32)
+    return counts.reshape(p, 2, km)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_positions", "num_codes")
+)
 def pileup_count_kernel(
     rpos,  # i32 [N] tile-relative reference position
     strand,  # i32 [N] output strand after strand-rule routing (0 +, 1 -)

@@ -17,8 +17,10 @@ from ..caller import ThresholdCaller
 from ..collapse import CollapseMethod
 from ..errors import ErrorTally, ModKitError
 from ..modcodes import DNA_BASES, any_mod_code, mod_code_sort_key
-from ..ops.pileup_counts import counts_layout, run_pileup_counts
-from .events import EV_MODCALL, EdgeFilter, read_to_events, skipped_read_events
+from ..ops.pileup_counts import (
+    counts_layout, modcall_counts_numpy, run_modcall_counts,
+)
+from .events import EdgeFilter, read_to_events, skipped_read_events
 
 
 @dataclass
@@ -121,52 +123,84 @@ class TileProcessor:
         m = max(len(vocab), 1)
         p = end - start
 
-        # assemble event arrays clipped to the tile
-        rpos_l, strand_l, base_l, type_l, probs_l = [], [], [], [], []
+        # assemble sparse mod-call event arrays clipped to the tile; dense
+        # nocall/delete features are plain histograms counted host-side
+        rpos_l, strand_l, base_l, probs_l = [], [], [], []
+        nc_keys, del_keys = [], []
         focus_rule = focus.rule if focus is not None else None
         for ev in reads:
-            if len(ev.rpos) == 0:
-                continue
-            sel = (ev.rpos >= start) & (ev.rpos < end)
-            if focus_rule is not None and sel.any():
-                li = (ev.rpos - start)[sel]
-                r = focus_rule[li]
-                keep = (r == 2) | (r == ev.out_strand[sel])
-                s2 = np.zeros(len(ev.rpos), dtype=bool)
-                s2[np.flatnonzero(sel)[keep]] = True
-                sel = s2
-            if not sel.any():
-                continue
-            rpos_l.append(ev.rpos[sel] - start)
-            strand_l.append(ev.out_strand[sel])
-            base_l.append(ev.base_idx[sel])
-            type_l.append(ev.ev_type[sel])
-            pr = np.full((int(sel.sum()), m), -1.0, dtype=np.float32)
-            if ev.probs.shape[1]:
-                cols = [vindex[c] for c in ev.codes]
-                pr[:, cols] = ev.probs[sel]
-            probs_l.append(pr)
+            s = ev.aln_strand
+            if len(ev.mod_rpos):
+                sel = (ev.mod_rpos >= start) & (ev.mod_rpos < end)
+                if focus_rule is not None and sel.any():
+                    li = (ev.mod_rpos - start)[sel]
+                    r = focus_rule[li]
+                    keep = (r == 2) | (r == ev.mod_out[sel])
+                    s2 = np.zeros(len(ev.mod_rpos), dtype=bool)
+                    s2[np.flatnonzero(sel)[keep]] = True
+                    sel = s2
+                if sel.any():
+                    rpos_l.append(ev.mod_rpos[sel] - start)
+                    strand_l.append(ev.mod_out[sel])
+                    base_l.append(ev.mod_base[sel])
+                    pr = np.full(
+                        (int(sel.sum()), m), -1.0, dtype=np.float32
+                    )
+                    if ev.mod_probs.shape[1]:
+                        cols = [vindex[c] for c in ev.codes]
+                        pr[:, cols] = ev.mod_probs[sel]
+                    probs_l.append(pr)
+            if len(ev.nc_rpos):
+                li = ev.nc_rpos - start
+                sel = (li >= 0) & (li < p)
+                if focus_rule is not None:
+                    r = focus_rule[np.clip(li, 0, p - 1)]
+                    sel &= (r == 2) | (r == s)
+                if sel.any():
+                    nc_keys.append(
+                        (li[sel] * 2 + s) * 4 + ev.nc_base[sel]
+                    )
+            if len(ev.del_rpos):
+                li = ev.del_rpos - start
+                sel = (li >= 0) & (li < p)
+                if focus_rule is not None:
+                    r = focus_rule[np.clip(li, 0, p - 1)]
+                    sel &= (r == 2) | (r == s)
+                if sel.any():
+                    del_keys.append(li[sel] * 2 + s)
 
-        lay = counts_layout(m)
         if rpos_l:
             rpos = np.concatenate(rpos_l).astype(np.int32)
             strand = np.concatenate(strand_l).astype(np.int32)
             base_idx = np.concatenate(base_l).astype(np.int32)
-            ev_type = np.concatenate(type_l).astype(np.int32)
             probs = np.concatenate(probs_l, axis=0)
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
             if self.opts.use_device:
-                counts = run_pileup_counts(
-                    rpos, strand, base_idx, ev_type, probs,
-                    thr_mod, thr_can, p,
+                modc = run_modcall_counts(
+                    rpos, strand, base_idx, probs, thr_mod, thr_can, p
                 )
             else:
-                counts = _numpy_counts(
-                    rpos, strand, base_idx, ev_type, probs,
-                    thr_mod, thr_can, p, m,
+                modc = modcall_counts_numpy(
+                    rpos, strand, base_idx, probs, thr_mod, thr_can, p, m
                 )
         else:
-            counts = np.zeros((p, 2, lay["K"]), dtype=np.int32)
+            modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
+        m_pad = (modc.shape[2] - 1) // 4 - 1
+        k = 6 + 4 * (m_pad + 1)
+        lay = counts_layout(m_pad)
+        counts = np.zeros((p, 2, k), dtype=np.int32)
+        counts[:, :, 1] = modc[:, :, 0]
+        counts[:, :, 6:] = modc[:, :, 1:]
+        if nc_keys:
+            nc_flat = np.bincount(
+                np.concatenate(nc_keys), minlength=p * 2 * 4
+            ).astype(np.int32)
+            counts[:, :, 2:6] = nc_flat.reshape(p, 2, 4)
+        if del_keys:
+            d_flat = np.bincount(
+                np.concatenate(del_keys), minlength=p * 2
+            ).astype(np.int32)
+            counts[:, :, 0] = d_flat.reshape(p, 2)
 
         # observed codes per (pos, strand, base): painted over each read's
         # covered intervals (read_cache.rs:298 add_mod_codes_for_record)

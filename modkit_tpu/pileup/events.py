@@ -2,9 +2,15 @@
 
 Reproduces the semantics of the reference's ReadCache + htslib column loop
 (read_cache.rs:111 add_record, pileup/mod.rs:718 process_region) without a
-per-column pileup engine: each read expands into flat event arrays
-(mod-call / nocall / delete) in reference coordinates, which the device
-kernel aggregates per tile.
+per-column pileup engine. Each read is decoded once into:
+
+- **sparse mod-call candidates** (reference positions that carry ML
+  probabilities) — these need the threshold-call kernel and are shipped to
+  the device, and
+- **dense coverage features** (nocall columns and deleted reference
+  positions) — these are plain histograms with no per-event math and are
+  counted host-side (a bincount), so the host->device transfer carries only
+  the sparse probability-bearing events (~an order of magnitude fewer).
 
 Per column the reference does, for each primary alignment:
   - deletion -> Feature::Delete on the alignment strand
@@ -37,6 +43,9 @@ EV_MODCALL = 0
 EV_NOCALL = 1
 EV_DELETE = 2
 
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+_EMPTY_I8 = np.empty(0, dtype=np.int8)
+
 
 @dataclass
 class EdgeFilter:
@@ -58,15 +67,24 @@ class EdgeFilter:
 
 @dataclass
 class ReadEvents:
-    """Flat events for one read, in reference coordinates."""
+    """Decoded pileup features for one read, in reference coordinates.
 
-    rpos: np.ndarray  # int64
-    out_strand: np.ndarray  # int8: tally strand (0 +, 1 -)
-    read_strand: np.ndarray  # int8: strand-of-read the feature came from
-    base_idx: np.ndarray  # int8: primary base for counting
-    ev_type: np.ndarray  # int8
-    probs: np.ndarray  # float32 [n, m_read] aligned to `codes`
+    Mod-call candidates keep per-event tally strands (a negative-mod-strand
+    call tallies on the opposite strand, read_cache.rs:80-97); nocall and
+    delete features always tally on the alignment strand.
+    """
+
+    # sparse mod-call candidates
+    mod_rpos: np.ndarray  # int64
+    mod_out: np.ndarray  # int8: tally strand (0 +, 1 -)
+    mod_base: np.ndarray  # int8: primary base for counting/threshold lookup
+    mod_probs: np.ndarray  # float32 [n, m_read] aligned to `codes`
     codes: list  # read-local code vocabulary (column order)
+    # dense features, all tallied on the alignment strand
+    aln_strand: int  # 0 forward, 1 reverse
+    nc_rpos: np.ndarray  # int64: nocall column positions
+    nc_base: np.ndarray  # int8: column (read) base
+    del_rpos: np.ndarray  # int64: deleted reference positions
     # codes registered per (out_strand_key, base_idx):
     registered: dict = field(default_factory=dict)
     # reference intervals covered by M/D ops (for observed-code painting)
@@ -104,21 +122,13 @@ def skipped_read_events(rec) -> ReadEvents:
     aln_rev = 1 if rec.is_reverse else 0
     qf, rp = rec.aligned_pairs_forward()
     fwd_seq = rec.forward_seq()
-    col_base = BASE_LUT[fwd_seq[qf]] if len(qf) else np.empty(0, dtype=np.int8)
+    col_base = BASE_LUT[fwd_seq[qf]] if len(qf) else _EMPTY_I8
     nc = col_base >= 0
-    dels = rec.deletion_ref_positions()
-    n_nc, n_d = int(nc.sum()), len(dels)
-    rpos = np.concatenate([rp[nc], dels])
-    out = np.full(n_nc + n_d, aln_rev, dtype=np.int8)
-    ev_type = np.concatenate(
-        [np.full(n_nc, EV_NOCALL, dtype=np.int8),
-         np.full(n_d, EV_DELETE, dtype=np.int8)]
-    )
-    base = np.concatenate([col_base[nc], np.zeros(n_d, dtype=np.int8)])
     return ReadEvents(
-        rpos, out, np.zeros(n_nc + n_d, dtype=np.int8), base, ev_type,
-        np.empty((n_nc + n_d, 0), dtype=np.float32), [], {},
-        np.empty((0, 2), dtype=np.int64),
+        _EMPTY_I64, _EMPTY_I8, _EMPTY_I8,
+        np.empty((0, 0), dtype=np.float32), [],
+        aln_rev, rp[nc], col_base[nc], rec.deletion_ref_positions(),
+        {}, np.empty((0, 2), dtype=np.int64),
     )
 
 
@@ -127,15 +137,11 @@ def read_to_events(
     collapse_methods: list[CollapseMethod] | None = None,
     edge_filter: EdgeFilter | None = None,
     force_allow: bool = False,
-    code_index: dict | None = None,
 ) -> ReadEvents:
     """Decode a record and expand it into pileup events.
 
     Raises ModKitError on records that the reference skips (bad tags,
     un-allowed implicit mode, all positions edge-filtered, ...).
-
-    ``code_index`` if given is a mutable {code: column} mapping extended in
-    place; probs are emitted in read-local order and remapped by the caller.
     """
     info = decode_record(rec)
     if info.is_empty():
@@ -155,9 +161,7 @@ def read_to_events(
     fwd_seq = rec.forward_seq()
     col_base = BASE_LUT[fwd_seq[qf_sorted]]
 
-    ev_rpos, ev_out, ev_read_strand, ev_base, ev_type, ev_prob_rows = (
-        [], [], [], [], [], []
-    )
+    ev_rpos, ev_out, ev_base, ev_prob_rows = [], [], [], []
     codes: list = []
     code_cols: dict = {}
     registered: dict = {}
@@ -213,9 +217,7 @@ def read_to_events(
         n = len(sel)
         ev_rpos.append(rp_sorted[cols])
         ev_out.append(np.full(n, out_strand_key, dtype=np.int8))
-        ev_read_strand.append(np.full(n, mod_strand, dtype=np.int8))
         ev_base.append(np.full(n, threshold_b, dtype=np.int8))
-        ev_type.append(np.full(n, EV_MODCALL, dtype=np.int8))
         row = np.full((n, len(codes)), -1.0, dtype=np.float32)
         for j, c in enumerate(gcodes):
             row[:, code_cols[c]] = probs[sel, j]
@@ -225,60 +227,28 @@ def read_to_events(
     if not added_any:
         raise ModKitError(NO_MOD_INFO, "all positions removed")
 
-    # nocall events: aligned columns with a valid base and no call on either
-    # mod strand
+    # nocall: aligned columns with a valid base and no call on either strand
     valid_base = col_base >= 0
     nc = valid_base & ~hit_any
-    if nc.any():
-        n = int(nc.sum())
-        ev_rpos.append(rp_sorted[nc])
-        ev_out.append(np.full(n, aln_rev, dtype=np.int8))
-        ev_read_strand.append(np.zeros(n, dtype=np.int8))
-        ev_base.append(col_base[nc])
-        ev_type.append(np.full(n, EV_NOCALL, dtype=np.int8))
-        ev_prob_rows.append(np.full((n, len(codes)), -1.0, dtype=np.float32))
-
-    # delete events
-    dels = rec.deletion_ref_positions()
-    if len(dels):
-        n = len(dels)
-        ev_rpos.append(dels)
-        ev_out.append(np.full(n, aln_rev, dtype=np.int8))
-        ev_read_strand.append(np.zeros(n, dtype=np.int8))
-        ev_base.append(np.zeros(n, dtype=np.int8))
-        ev_type.append(np.full(n, EV_DELETE, dtype=np.int8))
-        ev_prob_rows.append(np.full((n, len(codes)), -1.0, dtype=np.float32))
 
     m = len(codes)
     if ev_rpos:
-        rpos = np.concatenate(ev_rpos)
-        # pad all prob rows to the final m
         rows = [
             np.pad(r, ((0, 0), (0, m - r.shape[1])), constant_values=-1.0)
             if r.shape[1] < m
             else r
             for r in ev_prob_rows
         ]
-        probs_all = np.concatenate(rows, axis=0)
-        return ReadEvents(
-            rpos,
-            np.concatenate(ev_out),
-            np.concatenate(ev_read_strand),
-            np.concatenate(ev_base),
-            np.concatenate(ev_type),
-            probs_all,
-            codes,
-            registered,
-            covered_intervals(rec),
-        )
+        mod_rpos = np.concatenate(ev_rpos)
+        mod_out = np.concatenate(ev_out)
+        mod_base = np.concatenate(ev_base)
+        mod_probs = np.concatenate(rows, axis=0)
+    else:
+        mod_rpos, mod_out, mod_base = _EMPTY_I64, _EMPTY_I8, _EMPTY_I8
+        mod_probs = np.empty((0, m), dtype=np.float32)
+
     return ReadEvents(
-        np.empty(0, dtype=np.int64),
-        np.empty(0, dtype=np.int8),
-        np.empty(0, dtype=np.int8),
-        np.empty(0, dtype=np.int8),
-        np.empty(0, dtype=np.int8),
-        np.empty((0, m), dtype=np.float32),
-        codes,
-        registered,
-        covered_intervals(rec),
+        mod_rpos, mod_out, mod_base, mod_probs, codes,
+        aln_rev, rp_sorted[nc], col_base[nc], rec.deletion_ref_positions(),
+        registered, covered_intervals(rec),
     )
