@@ -129,7 +129,7 @@ def modcall_count_kernel(
     return counts.reshape(num_positions, 2, km)
 
 
-def run_modcall_counts(
+def dispatch_modcall_counts(
     rpos: np.ndarray,
     strand: np.ndarray,
     base_idx: np.ndarray,
@@ -137,10 +137,12 @@ def run_modcall_counts(
     thr_mod: np.ndarray,
     thr_can: np.ndarray,
     num_positions: int,
-) -> np.ndarray:
-    """Host wrapper: pad events/positions/codes to buckets (bounding jit
-    specializations), run the mod-call kernel, return numpy counts
-    [num_positions, 2, Km(m_pad)] where m_pad = round_up_codes(m)."""
+):
+    """Pad events/positions/codes to buckets (bounding jit specializations)
+    and dispatch the mod-call kernel WITHOUT blocking: returns the in-flight
+    device array [p_pad, 2, Km(m_pad)] (m_pad = round_up_codes(m)) so the
+    host can overlap work with device compute + D2H transfer. Materialize
+    with ``np.asarray(out)[:num_positions]``."""
     n = len(rpos)
     m = probs.shape[1] if probs.ndim == 2 else 1
     m_pad = round_up_codes(max(m, 1))
@@ -160,7 +162,7 @@ def run_modcall_counts(
     thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
     valid = np.zeros(nb, dtype=bool)
     valid[:n] = True
-    out = modcall_count_kernel(
+    return modcall_count_kernel(
         jnp.asarray(pad1(rpos).astype(np.int32)),
         jnp.asarray(pad1(strand).astype(np.int32)),
         jnp.asarray(pad1(base_idx).astype(np.int32)),
@@ -170,6 +172,21 @@ def run_modcall_counts(
         jnp.asarray(thr_can.astype(np.float32)),
         num_positions=p_pad,
         num_codes=m_pad,
+    )
+
+
+def run_modcall_counts(
+    rpos: np.ndarray,
+    strand: np.ndarray,
+    base_idx: np.ndarray,
+    probs: np.ndarray,
+    thr_mod: np.ndarray,
+    thr_can: np.ndarray,
+    num_positions: int,
+) -> np.ndarray:
+    """Blocking wrapper over dispatch_modcall_counts."""
+    out = dispatch_modcall_counts(
+        rpos, strand, base_idx, probs, thr_mod, thr_can, num_positions
     )
     return np.asarray(out)[:num_positions]
 

@@ -18,12 +18,12 @@ from ..collapse import CollapseMethod
 from ..errors import ErrorTally, ModKitError
 from ..modcodes import DNA_BASES, any_mod_code, mod_code_sort_key
 from ..ops.pileup_counts import (
-    counts_layout, modcall_counts_numpy, run_modcall_counts,
+    counts_layout, dispatch_modcall_counts, modcall_counts_numpy,
 )
 from .events import EdgeFilter, read_to_events, skipped_read_events
 
 
-@dataclass
+@dataclass(slots=True)
 class PileupRow:
     """One bedMethyl row (pileup/mod.rs:55 PileupFeatureCounts)."""
 
@@ -53,6 +53,21 @@ class PileupOptions:
     # focus positions / motifs are handled by the caller (engine processes
     # every covered position when focus is None)
     use_device: bool = True
+
+
+@dataclass
+class TilePending:
+    """A launched tile: in-flight device counts + host-side context needed
+    to decode rows once the kernel result lands (finish_tile)."""
+
+    modc: object  # jax.Array [p_pad, 2, Km] in flight, or numpy fallback
+    nc_counts: np.ndarray | None  # [p, 2, 4] host nocall bincount
+    del_counts: np.ndarray | None  # [p, 2] host delete bincount
+    observed: np.ndarray  # [p, 2, 4, m] observed-code mask
+    vocab: list
+    start: int
+    p: int
+    focus: object
 
 
 class TileProcessor:
@@ -98,7 +113,19 @@ class TileProcessor:
     def process_tile(
         self, reader, tid: int, start: int, end: int, focus=None
     ) -> list[tuple[int, list[PileupRow]]]:
-        """Return [(position, rows)] sorted by position for one tile.
+        """Blocking launch+finish of one tile (see launch_tile)."""
+        return self.finish_tile(
+            self.launch_tile(reader, tid, start, end, focus)
+        )
+
+    def launch_tile(
+        self, reader, tid: int, start: int, end: int, focus=None
+    ) -> "TilePending":
+        """Fetch + decode a tile's reads and dispatch the device kernel
+        without blocking; host-side coverage bincounts and observed-code
+        painting run while the device computes. ``finish_tile`` materializes
+        the counts and decodes rows, so a caller can keep the next tile's
+        launch overlapped with this tile's device work.
 
         ``focus`` (motifs.FocusPositions or a rule array wrapper) restricts
         counted columns to focus positions with strand-rule routing
@@ -110,7 +137,7 @@ class TileProcessor:
                 continue
             reads.append(self._events_for(rec, tid))
         if not reads:
-            return []
+            return None
 
         # tile-wide code vocabulary, insertion order across reads
         vocab: list = []
@@ -169,6 +196,8 @@ class TileProcessor:
                 if sel.any():
                     del_keys.append(li[sel] * 2 + s)
 
+        # dispatch the device kernel FIRST so coverage bincounts + observed
+        # painting below overlap device compute / D2H transfer
         if rpos_l:
             rpos = np.concatenate(rpos_l).astype(np.int32)
             strand = np.concatenate(strand_l).astype(np.int32)
@@ -176,7 +205,7 @@ class TileProcessor:
             probs = np.concatenate(probs_l, axis=0)
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
             if self.opts.use_device:
-                modc = run_modcall_counts(
+                modc = dispatch_modcall_counts(
                     rpos, strand, base_idx, probs, thr_mod, thr_can, p
                 )
             else:
@@ -185,22 +214,16 @@ class TileProcessor:
                 )
         else:
             modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
-        m_pad = (modc.shape[2] - 1) // 4 - 1
-        k = 6 + 4 * (m_pad + 1)
-        lay = counts_layout(m_pad)
-        counts = np.zeros((p, 2, k), dtype=np.int32)
-        counts[:, :, 1] = modc[:, :, 0]
-        counts[:, :, 6:] = modc[:, :, 1:]
+
+        nc_counts = del_counts = None
         if nc_keys:
-            nc_flat = np.bincount(
+            nc_counts = np.bincount(
                 np.concatenate(nc_keys), minlength=p * 2 * 4
-            ).astype(np.int32)
-            counts[:, :, 2:6] = nc_flat.reshape(p, 2, 4)
+            ).astype(np.int32).reshape(p, 2, 4)
         if del_keys:
-            d_flat = np.bincount(
+            del_counts = np.bincount(
                 np.concatenate(del_keys), minlength=p * 2
-            ).astype(np.int32)
-            counts[:, :, 0] = d_flat.reshape(p, 2)
+            ).astype(np.int32).reshape(p, 2)
 
         # observed codes per (pos, strand, base): painted over each read's
         # covered intervals (read_cache.rs:298 add_mod_codes_for_record)
@@ -218,13 +241,39 @@ class TileProcessor:
                         for c in cols:
                             observed[a2:b2, sk, tb, c] = True
 
-        decoded = decode_counts(
-            counts, observed, vocab, start,
-            combine_mods=self.opts.combine_mods,
-            focus=focus,
+        if hasattr(modc, "copy_to_host_async"):
+            # enqueue the D2H copy now; it streams as soon as the kernel
+            # finishes, so finish_tile's np.asarray finds it ready
+            modc.copy_to_host_async()
+        return TilePending(
+            modc, nc_counts, del_counts, observed, vocab, start, p, focus
         )
-        if self.opts.combine_strands and focus is not None:
-            decoded = combine_strand_rows(decoded, focus)
+
+    def finish_tile(
+        self, pending: "TilePending | None"
+    ) -> list[tuple[int, list[PileupRow]]]:
+        """Materialize a launched tile's device counts and decode rows."""
+        if pending is None:
+            return []
+        p = pending.p
+        modc = np.asarray(pending.modc)[:p]
+        m_pad = (modc.shape[2] - 1) // 4 - 1
+        k = 6 + 4 * (m_pad + 1)
+        counts = np.zeros((p, 2, k), dtype=np.int32)
+        counts[:, :, 1] = modc[:, :, 0]
+        counts[:, :, 6:] = modc[:, :, 1:]
+        if pending.nc_counts is not None:
+            counts[:, :, 2:6] = pending.nc_counts
+        if pending.del_counts is not None:
+            counts[:, :, 0] = pending.del_counts
+
+        decoded = decode_counts(
+            counts, pending.observed, pending.vocab, pending.start,
+            combine_mods=self.opts.combine_mods,
+            focus=pending.focus,
+        )
+        if self.opts.combine_strands and pending.focus is not None:
+            decoded = combine_strand_rows(decoded, pending.focus)
         return decoded
 
 

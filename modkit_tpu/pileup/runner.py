@@ -191,61 +191,82 @@ def run_pileup(cfg: PileupConfig) -> dict:
     if position_filter is not None:
         spans = position_filter.optimize_spans(spans)
 
+    def iter_tiles():
+        for tid, rstart, rend in spans:
+            chrom = header.tid2name(tid)
+            start = rstart
+            while start < rend:
+                end = min(start + cfg.interval_size, rend)
+                focus = None
+                if motifs is not None:
+                    if cfg.combine_strands:
+                        focus, end = scan_focus_positions_combine(
+                            motifs, fasta, chrom, tid, rend, start, end,
+                            position_filter,
+                        )
+                        if end <= start:
+                            end = min(start + cfg.interval_size, rend)
+                            focus = None
+                    else:
+                        focus = scan_focus_positions(
+                            motifs, fasta, chrom, start, end,
+                            position_filter, tid,
+                        )
+                elif position_filter is not None:
+                    from ..motifs import FocusPositions
+
+                    focus = FocusPositions(
+                        start,
+                        position_filter.rule_array(tid, start, end),
+                        {}, {}, {},
+                    )
+                done = completed_tiles.get((tid, start))
+                if done is not None:
+                    start = done["end"]
+                    continue
+                yield tid, chrom, start, end, focus
+                start = end
+
     n_rows = 0
-    for tid, rstart, rend in spans:
-        chrom = header.tid2name(tid)
-        start = rstart
-        while start < rend:
-            end = min(start + cfg.interval_size, rend)
-            focus = None
-            if motifs is not None:
-                if cfg.combine_strands:
-                    focus, end = scan_focus_positions_combine(
-                        motifs, fasta, chrom, tid, rend, start, end,
-                        position_filter,
-                    )
-                    if end <= start:
-                        end = min(start + cfg.interval_size, rend)
-                        focus = None
-                else:
-                    focus = scan_focus_positions(
-                        motifs, fasta, chrom, start, end, position_filter, tid
-                    )
-            elif position_filter is not None:
-                from ..motifs import FocusPositions
 
-                focus = FocusPositions(
-                    start,
-                    position_filter.rule_array(tid, start, end),
-                    {}, {}, {},
-                )
-            done = completed_tiles.get((tid, start))
-            if done is not None:
-                start = done["end"]
-                continue
-            if focus is None or (focus.rule >= 0).any():
-                for _pos, rows in proc.process_tile(
-                    reader, tid, start, end, focus
-                ):
-                    writer.write_rows(chrom, rows, motif_labels)
-                    n_rows += len(rows)
-            if journal_fh is not None:
-                import json as _json
+    def finish_and_write(inflight):
+        nonlocal n_rows
+        chrom, tid, start, end, pend = inflight
+        for _pos, rows in proc.finish_tile(pend):
+            writer.write_rows(chrom, rows, motif_labels)
+            n_rows += len(rows)
+        if journal_fh is not None:
+            import json as _json
 
-                writer.flush()
-                journal_fh.write(
-                    _json.dumps(
-                        {
-                            "tid": tid,
-                            "start": start,
-                            "end": end,
-                            "out_size": writer.tell(),
-                        }
-                    )
-                    + "\n"
+            writer.flush()
+            journal_fh.write(
+                _json.dumps(
+                    {
+                        "tid": tid,
+                        "start": start,
+                        "end": end,
+                        "out_size": writer.tell(),
+                    }
                 )
-                journal_fh.flush()
-            start = end
+                + "\n"
+            )
+            journal_fh.flush()
+
+    # one-deep pipeline: launch tile i+1 (host decode + async device
+    # dispatch) before materializing tile i, so device compute and D2H
+    # transfer overlap host work (the TPU analog of the reference's
+    # rayon join(compute, send), pileup/subcommand.rs:733)
+    inflight = None
+    for tid, chrom, start, end, focus in iter_tiles():
+        if focus is None or (focus.rule >= 0).any():
+            pend = proc.launch_tile(reader, tid, start, end, focus)
+        else:
+            pend = None
+        if inflight is not None:
+            finish_and_write(inflight)
+        inflight = (chrom, tid, start, end, pend)
+    if inflight is not None:
+        finish_and_write(inflight)
     writer.close()
     if journal_fh is not None:
         journal_fh.close()

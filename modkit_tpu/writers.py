@@ -83,6 +83,7 @@ def render_clean_table(rows: list[list[str]]) -> str:
     return "\n".join(out)
 
 
+@functools.lru_cache(maxsize=1 << 16)
 def format_percent(fraction: float) -> str:
     """{:.2} of f32 fraction*100 (writers.rs:140)."""
     v = np.float32(fraction) * np.float32(100.0)
