@@ -42,6 +42,37 @@ class PileupRow:
     motif_idx: int | None = None
 
 
+@dataclass(slots=True)
+class ColumnarRows:
+    """bedMethyl rows in columnar (struct-of-arrays) form, already sorted
+    by (position, strand, mod code). Vectorized fast path of decode_counts
+    for the no-focus pileup; consumed by BedMethylWriter.write_columnar."""
+
+    pos: np.ndarray  # int64 absolute genome positions
+    strand: np.ndarray  # int8 0 '+', 1 '-'
+    code_idx: np.ndarray  # int32 index into labels
+    labels: list  # code label strings per index
+    valid: np.ndarray
+    n_mod: np.ndarray
+    n_can: np.ndarray
+    n_other: np.ndarray
+    n_del: np.ndarray
+    n_filt: np.ndarray
+    n_diff: np.ndarray
+    n_nocall: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.pos)
+
+    def percent_strings(self) -> list:
+        """``{:.2}`` of f32 fraction*100 per row (writers.rs:140)."""
+        f32 = np.float32
+        pv = (
+            self.n_mod.astype(f32) / self.valid.astype(f32)
+        ) * f32(100.0)
+        return [format(v, ".2f") for v in pv.astype(np.float64).tolist()]
+
+
 @dataclass
 class PileupOptions:
     combine_mods: bool = False  # PileupNumericOptions::Combine
@@ -267,6 +298,11 @@ class TileProcessor:
         if pending.del_counts is not None:
             counts[:, :, 0] = pending.del_counts
 
+        if pending.focus is None and not self.opts.combine_strands:
+            return decode_counts_columnar(
+                counts, pending.observed, pending.vocab, pending.start,
+                combine_mods=self.opts.combine_mods,
+            )
         decoded = decode_counts(
             counts, pending.observed, pending.vocab, pending.start,
             combine_mods=self.opts.combine_mods,
@@ -306,6 +342,76 @@ def _numpy_counts(
     flat = (rpos.astype(np.int64) * 2 + strand) * k + counter
     counts = np.bincount(flat, minlength=p * 2 * k).astype(np.int32)
     return counts.reshape(p, 2, k)
+
+
+def decode_counts_columnar(
+    counts: np.ndarray,
+    observed: np.ndarray,
+    vocab: list,
+    tile_start: int,
+    combine_mods: bool = False,
+) -> ColumnarRows:
+    """Vectorized count tensor -> columnar bedMethyl rows (no-focus path).
+
+    Emits exactly the rows of ``decode_counts(focus=None)`` — one row per
+    (position, strand, primary base, observed mod code), sorted within a
+    position by (strand, mod-code order) — but as flat numpy columns built
+    with a handful of array ops instead of a Python row loop
+    (pileup/mod.rs:412 FeatureVector::decode equivalence unchanged).
+    """
+    p, _, k = counts.shape
+    m = len(vocab)
+    m_pad = (k - 6) // 4 - 1
+    body = counts[:, :, 6:].reshape(p, 2, 4, m_pad + 1)
+    can_nd = body[..., 0]  # [p, 2, 4]
+    mods_nd = body[..., 1:]  # [p, 2, 4, m_pad]
+    nocall_nd = counts[:, :, 2:6]
+    mods_sum = mods_nd.sum(axis=3, dtype=np.int64)
+    valid_nd = can_nd + mods_sum
+    total_valid = valid_nd.sum(axis=2)
+    total_nocall = nocall_nd.sum(axis=2, dtype=np.int64)
+
+    if combine_mods:
+        pi, s, b = np.nonzero(valid_nd)
+        j = b.astype(np.int32)  # one any-mod row per base
+        labels = [any_mod_code(bb) for bb in DNA_BASES]
+        n_can = can_nd[pi, s, b]
+        n_mod = valid_nd[pi, s, b] - n_can
+        n_other = np.zeros(len(pi), dtype=np.int64)
+    else:
+        if m == 0:
+            e = np.empty(0, dtype=np.int64)
+            return ColumnarRows(
+                e, e.astype(np.int8), e.astype(np.int32), [],
+                e, e, e, e, e, e, e, e,
+            )
+        mask = observed & (valid_nd > 0)[..., None]
+        pi, s, b, j = np.nonzero(mask)
+        j = j.astype(np.int32)
+        labels = list(vocab)
+        n_mod = mods_nd[pi, s, b, j]
+        n_other = mods_sum[pi, s, b] - n_mod
+        n_can = can_nd[pi, s, b]
+
+    valid = valid_nd[pi, s, b]
+    n_nocall = nocall_nd[pi, s, b]
+    n_del = counts[pi, s, 0]
+    n_filt = counts[pi, s, 1]
+    n_diff = (total_valid[pi, s] - valid) + (total_nocall[pi, s] - n_nocall)
+
+    # within-position order: strand then mod-code order (ChEBI < char)
+    rank = np.empty(max(len(labels), 1), dtype=np.int32)
+    for r, li in enumerate(
+        sorted(range(len(labels)), key=lambda i: mod_code_sort_key(labels[i]))
+    ):
+        rank[li] = r
+    order = np.lexsort((rank[j], s, pi))
+    pos = tile_start + pi[order].astype(np.int64)
+    return ColumnarRows(
+        pos, s[order].astype(np.int8), j[order], labels,
+        valid[order], n_mod[order], n_can[order], n_other[order],
+        n_del[order], n_filt[order], n_diff[order], n_nocall[order],
+    )
 
 
 def decode_counts(

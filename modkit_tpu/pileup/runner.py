@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from ..caller import ThresholdCaller
 from ..io.bam import BamReader
 from ..writers import BedGraphWriter, BedMethylWriter
-from .engine import PileupOptions, TileProcessor
+from .engine import ColumnarRows, PileupOptions, TileProcessor
 
 
 @dataclass
@@ -232,9 +232,14 @@ def run_pileup(cfg: PileupConfig) -> dict:
     def finish_and_write(inflight):
         nonlocal n_rows
         chrom, tid, start, end, pend = inflight
-        for _pos, rows in proc.finish_tile(pend):
-            writer.write_rows(chrom, rows, motif_labels)
-            n_rows += len(rows)
+        res = proc.finish_tile(pend)
+        if isinstance(res, ColumnarRows):
+            writer.write_columnar(chrom, res)
+            n_rows += len(res)
+        else:
+            for _pos, rows in res:
+                writer.write_rows(chrom, rows, motif_labels)
+                n_rows += len(rows)
         if journal_fh is not None:
             import json as _json
 

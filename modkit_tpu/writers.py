@@ -132,6 +132,31 @@ class BedMethylWriter:
             self.rows_written += 1
         self._fh.write("".join(buf))
 
+    def write_columnar(self, chrom: str, cols) -> None:
+        """Vectorized row emission from a ColumnarRows batch (engine.py)."""
+        n = len(cols)
+        if n == 0:
+            return
+        tab, sp = "\t", self.space
+        names = [str(c) for c in cols.labels]
+        sc = ("+", "-")
+        buf = [
+            f"{chrom}{tab}{p}{tab}{p + 1}{tab}{names[j]}{tab}"
+            f"{va}{tab}{sc[s]}{tab}{p}{tab}{p + 1}{tab}255,0,0{tab}"
+            f"{va}{sp}{pc}{sp}{nm}{sp}{ncn}{sp}{no}{sp}"
+            f"{nd}{sp}{nf}{sp}{ndf}{sp}{nn}\n"
+            for p, s, j, va, pc, nm, ncn, no, nd, nf, ndf, nn in zip(
+                cols.pos.tolist(), cols.strand.tolist(),
+                cols.code_idx.tolist(), cols.valid.tolist(),
+                cols.percent_strings(), cols.n_mod.tolist(),
+                cols.n_can.tolist(), cols.n_other.tolist(),
+                cols.n_del.tolist(), cols.n_filt.tolist(),
+                cols.n_diff.tolist(), cols.n_nocall.tolist(),
+            )
+        ]
+        self.rows_written += n
+        self._fh.write("".join(buf))
+
     def close(self):
         self._fh.flush()
         if self._owns:
@@ -185,6 +210,19 @@ class BedGraphWriter:
             fh.write(
                 f"{chrom}\t{r.pos}\t{r.pos + 1}\t{frac}\t{r.valid_coverage}\n"
             )
+
+    def write_columnar(self, chrom: str, cols) -> None:
+        names = [str(c) for c in cols.labels]
+        sc = ("+", "-")
+        fracs = (
+            cols.n_mod.astype(np.float32) / cols.valid.astype(np.float32)
+        ).astype(np.float64).tolist()
+        for p, s, j, va, fr in zip(
+            cols.pos.tolist(), cols.strand.tolist(),
+            cols.code_idx.tolist(), cols.valid.tolist(), fracs,
+        ):
+            fh = self._fh_for((names[j], sc[s]))
+            fh.write(f"{chrom}\t{p}\t{p + 1}\t{fr}\t{va}\n")
 
     def close(self):
         for fh in self._files.values():
