@@ -421,6 +421,23 @@ class BamReader:
                 if rec.reference_end() > start:
                     yield rec
 
+    def fetch_chunks_raw(self, tid: int, start: int, end: int) -> list[bytes]:
+        """Decompressed byte buffers of the BAI chunks overlapping the
+        region — the exact bytes ``fetch`` iterates, for the native C++
+        record decoder (region/flag filtering happens there)."""
+        chunks = self.index.query(tid, start, end)
+        out = []
+        for cbeg, cend in chunks:
+            self._bgzf.seek_voffset(cbeg)
+            buf = bytearray()
+            while self._bgzf.tell_voffset() < cend:
+                piece = self._bgzf.read(1 << 16)
+                if not piece:
+                    break
+                buf += piece
+            out.append(bytes(buf))
+        return out
+
     def fetch_unmapped(self):
         """Yield unmapped-unplaced records from the tail of the file."""
         voff = self.index.first_unmapped_voffset()

@@ -84,6 +84,8 @@ class PileupOptions:
     # focus positions / motifs are handled by the caller (engine processes
     # every covered position when focus is None)
     use_device: bool = True
+    # use the native C++ tile decoder when available (None = auto)
+    use_native: bool | None = None
 
 
 @dataclass
@@ -149,6 +151,13 @@ class TileProcessor:
             self.launch_tile(reader, tid, start, end, focus)
         )
 
+    def _use_native(self) -> bool:
+        if self.opts.use_native is False:
+            return False
+        from .. import native
+
+        return native.available()
+
     def launch_tile(
         self, reader, tid: int, start: int, end: int, focus=None
     ) -> "TilePending":
@@ -161,7 +170,38 @@ class TileProcessor:
         ``focus`` (motifs.FocusPositions or a rule array wrapper) restricts
         counted columns to focus positions with strand-rule routing
         (pileup/mod.rs:580-603 PileupIter + FeatureVector strand rules).
+
+        Tile event assembly runs in the native C++ decoder when available
+        (modkit_tpu.native), with this Python path as oracle/fallback.
         """
+        focus_rule = focus.rule if focus is not None else None
+        if self._use_native() and hasattr(reader, "fetch_chunks_raw"):
+            from .. import native
+
+            res = native.decode_tile(
+                reader.fetch_chunks_raw(tid, start, end),
+                tid, start, end,
+                force_allow=self.opts.force_allow,
+                edge_filter=self.opts.edge_filter,
+                collapse=self.opts.collapse,
+                focus_rule=focus_rule,
+            )
+            if res is not None:
+                self.n_used += res["n_used"]
+                self.n_skipped += res["n_skipped"]
+                for kind, n in res["errors"].items():
+                    self.errors[kind] += n
+                if (
+                    res["n_used"] + res["n_skipped"] == 0
+                    and len(res["rpos"]) == 0
+                ):
+                    return None
+                return self._dispatch_tile(
+                    res["rpos"], res["strand"], res["base"], res["probs"],
+                    res["nc_counts"], res["del_counts"], res["observed"],
+                    res["vocab"], start, end - start, focus,
+                )
+
         reads = []
         for rec in reader.fetch(tid, start, end):
             if rec.is_not_primary or rec.l_seq == 0:
@@ -275,6 +315,33 @@ class TileProcessor:
         if hasattr(modc, "copy_to_host_async"):
             # enqueue the D2H copy now; it streams as soon as the kernel
             # finishes, so finish_tile's np.asarray finds it ready
+            modc.copy_to_host_async()
+        return TilePending(
+            modc, nc_counts, del_counts, observed, vocab, start, p, focus
+        )
+
+    def _dispatch_tile(
+        self, rpos, strand, base_idx, probs, nc_counts, del_counts,
+        observed, vocab, start, p, focus
+    ) -> "TilePending":
+        """Dispatch the device kernel over pre-assembled (native) tile
+        event arrays and return the in-flight TilePending."""
+        m = max(len(vocab), 1)
+        if len(rpos):
+            thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
+            if self.opts.use_device:
+                modc = dispatch_modcall_counts(
+                    rpos.astype(np.int32), strand.astype(np.int32),
+                    base_idx.astype(np.int32), probs, thr_mod, thr_can, p
+                )
+            else:
+                modc = modcall_counts_numpy(
+                    rpos.astype(np.int64), strand.astype(np.int64),
+                    base_idx.astype(np.int64), probs, thr_mod, thr_can, p, m
+                )
+        else:
+            modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
+        if hasattr(modc, "copy_to_host_async"):
             modc.copy_to_host_async()
         return TilePending(
             modc, nc_counts, del_counts, observed, vocab, start, p, focus

@@ -1,0 +1,1209 @@
+// modkit_tpu native runtime: BAM record decode + per-tile pileup event
+// extraction, C++ implementation of the host hot loop.
+//
+// This is the TPU-framework equivalent of the reference's native layer: the
+// reference gets BAM decoding from C htslib (rust-htslib, Cargo.toml:49) and
+// runs its per-read MM/ML decode + per-column aggregation in compiled Rust
+// (mod_bam.rs, read_cache.rs, pileup/mod.rs). Here the same per-read work --
+// MM/ML/MN tag decode (mod_bam.rs:909 MmTagInfo::parse, :1213
+// get_base_mod_probs incl. implicit-canonical inference), collapse
+// (mod_bam.rs:530 into_collapsed), edge filter (mod_bam.rs:1635), aligned
+// pairs (util.rs:122) and pileup event expansion (read_cache.rs:111
+// add_record) -- runs in C++ threads, emitting flat columnar event arrays
+// that Python ships straight to the TPU kernel.
+//
+// Semantics are kept bit-identical to the Python oracle implementation in
+// modkit_tpu/modtags.py + modkit_tpu/pileup/events.py (which mirrors the
+// reference); tests/test_native_decode.py asserts equivalence on the
+// reference fixtures and synthetic inputs. All probability arithmetic is
+// float32 matching numpy's element order.
+
+#include <algorithm>
+#include <array>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// ---------------------------------------------------------------- errors
+// Index order must match modkit_tpu/native/__init__.py ERR_KINDS.
+enum Err {
+  E_MM_MISSING = 0,
+  E_ML_MISSING = 1,
+  E_INVALID_MM = 2,
+  E_INVALID_ML = 3,
+  E_INVALID_MN = 4,
+  E_NON_PRIMARY_MN = 5,
+  E_CONFLICT_GT1 = 6,
+  E_CONFLICT_INF = 7,
+  E_NO_MOD_INFO = 8,
+  E_INVALID_IMPLICIT = 9,
+  E_NKINDS = 10,
+  E_OK = -1,
+};
+
+struct MkError {
+  int kind;
+};
+
+// ---------------------------------------------------------------- tables
+constexpr float kMaxProb = 1.01f;  // mod_bam.rs:26
+
+// skip modes (mod_bam.rs:326): 0 = '?', 1 = '.', 2 = default(implicit)
+constexpr int MODE_EXPLICIT = 0;
+constexpr int MODE_IMPLICIT = 1;
+constexpr int MODE_DEFAULT = 2;
+
+inline bool mode_is_implicit(int m) { return m != MODE_EXPLICIT; }
+
+static const char SEQ_NT16[] = "=ACMGRSVTWYHKDBN";
+
+struct Tables {
+  uint8_t nib_hi[256];
+  uint8_t nib_lo[256];
+  uint8_t compl_tab[256];
+  int8_t base_lut[256];  // A0 C1 G2 T3 else -1
+  Tables() {
+    for (int i = 0; i < 256; ++i) {
+      nib_hi[i] = (uint8_t)SEQ_NT16[i >> 4];
+      nib_lo[i] = (uint8_t)SEQ_NT16[i & 0xF];
+      compl_tab[i] = (uint8_t)i;
+      base_lut[i] = -1;
+    }
+    compl_tab['A'] = 'T'; compl_tab['T'] = 'A';
+    compl_tab['C'] = 'G'; compl_tab['G'] = 'C';
+    compl_tab['a'] = 't'; compl_tab['t'] = 'a';
+    compl_tab['c'] = 'g'; compl_tab['g'] = 'c';
+    compl_tab['N'] = 'N'; compl_tab['n'] = 'n';
+    compl_tab['U'] = 'A';
+    base_lut['A'] = 0; base_lut['C'] = 1; base_lut['G'] = 2; base_lut['T'] = 3;
+  }
+};
+static const Tables T;
+
+inline int base_char_to_idx(char b) { return T.base_lut[(uint8_t)b]; }
+constexpr int8_t IDX_COMPL[4] = {3, 2, 1, 0};
+
+// mod code identity: >= 0 -> ChEBI numeric id, < 0 -> -(ASCII char code)
+using Code = int64_t;
+inline Code char_code(char c) { return -(int64_t)(uint8_t)c; }
+
+// ------------------------------------------------------------- BAM record
+struct Rec {
+  const uint8_t* p;
+  int64_t len;
+  int32_t ref_id, pos;
+  uint8_t l_read_name, mapq;
+  uint16_t n_cigar, flag;
+  uint32_t l_seq;
+
+  void parse_head() {
+    std::memcpy(&ref_id, p + 0, 4);
+    std::memcpy(&pos, p + 4, 4);
+    l_read_name = p[8];
+    mapq = p[9];
+    std::memcpy(&n_cigar, p + 12, 2);
+    std::memcpy(&flag, p + 14, 2);
+    std::memcpy(&l_seq, p + 16, 4);
+  }
+  bool is_unmapped() const { return flag & 0x4; }
+  bool is_reverse() const { return flag & 0x10; }
+  bool is_not_primary() const { return flag & 0xD00; }  // sec|sup|dup
+  const uint8_t* cigar() const { return p + 32 + l_read_name; }
+  const uint8_t* seq4() const { return cigar() + 4 * (size_t)n_cigar; }
+  int64_t aux_off() const {
+    return 32 + l_read_name + 4 * (int64_t)n_cigar + (l_seq + 1) / 2 + l_seq;
+  }
+  int64_t reference_span() const {
+    const uint8_t* cg = cigar();
+    int64_t span = 0;
+    for (int i = 0; i < n_cigar; ++i) {
+      uint32_t v;
+      std::memcpy(&v, cg + 4 * i, 4);
+      uint32_t op = v & 0xF, l = v >> 4;
+      // ops consuming reference: M D N = X  (0 2 3 7 8)
+      if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) span += l;
+    }
+    return span;
+  }
+};
+
+// aux scan results for the tags the decoder needs. MM/Mm and ML/Ml are
+// tracked separately: the new-style upper-case tag wins when both exist
+// (modtags.py:433 parse_raw_mod_tags tries "MM" before "Mm").
+struct TagSlot {
+  bool present = false;
+  bool wrong_type = false;
+  const char* z = nullptr;      // Z payload (MM)
+  const uint8_t* b = nullptr;   // BC payload (ML)
+  int64_t b_n = -1;
+};
+
+struct AuxTags {
+  bool bad = false;  // malformed aux region
+  TagSlot mm_up, mm_lo;  // MM / Mm
+  TagSlot ml_up, ml_lo;  // ML / Ml
+  bool mn_present = false;
+  bool mn_wrong_type = false;
+  int64_t mn_value = -1;
+};
+
+inline int aux_b_itemsize(char sub) {
+  switch (sub) {
+    case 'c': case 'C': return 1;
+    case 's': case 'S': return 2;
+    case 'i': case 'I': case 'f': return 4;
+    default: return -1;
+  }
+}
+
+AuxTags scan_aux(const Rec& r) {
+  AuxTags out;
+  const uint8_t* buf = r.p;
+  int64_t p = r.aux_off(), end = r.len;
+  while (p + 3 <= end) {
+    char t0 = (char)buf[p], t1 = (char)buf[p + 1];
+    char typ = (char)buf[p + 2];
+    p += 3;
+    TagSlot* mm = nullptr;
+    TagSlot* ml = nullptr;
+    bool is_mn = false;
+    if (t0 == 'M') {
+      if (t1 == 'M') mm = &out.mm_up;
+      else if (t1 == 'm') mm = &out.mm_lo;
+      else if (t1 == 'L') ml = &out.ml_up;
+      else if (t1 == 'l') ml = &out.ml_lo;
+      else if (t1 == 'N') is_mn = true;
+    }
+    switch (typ) {
+      case 'A': case 'c': case 'C': {
+        if (is_mn) {
+          out.mn_present = true;
+          if (typ == 'A') out.mn_wrong_type = true;
+          else out.mn_value = (typ == 'C') ? buf[p] : (int64_t)(int8_t)buf[p];
+        } else if (mm) { mm->present = true; mm->wrong_type = true; }
+        else if (ml) { ml->present = true; ml->wrong_type = true; }
+        p += 1;
+        break;
+      }
+      case 's': case 'S': {
+        if (is_mn) {
+          out.mn_present = true;
+          uint16_t v; std::memcpy(&v, buf + p, 2);
+          out.mn_value = (typ == 's') ? (int64_t)(int16_t)v : (int64_t)v;
+        } else if (mm) { mm->present = true; mm->wrong_type = true; }
+        else if (ml) { ml->present = true; ml->wrong_type = true; }
+        p += 2;
+        break;
+      }
+      case 'i': case 'I': {
+        if (is_mn) {
+          out.mn_present = true;
+          uint32_t v; std::memcpy(&v, buf + p, 4);
+          out.mn_value = (typ == 'i') ? (int64_t)(int32_t)v : (int64_t)v;
+        } else if (mm) { mm->present = true; mm->wrong_type = true; }
+        else if (ml) { ml->present = true; ml->wrong_type = true; }
+        p += 4;
+        break;
+      }
+      case 'f': {
+        if (is_mn) { out.mn_present = true; out.mn_wrong_type = true; }
+        else if (mm) { mm->present = true; mm->wrong_type = true; }
+        else if (ml) { ml->present = true; ml->wrong_type = true; }
+        p += 4;
+        break;
+      }
+      case 'Z': case 'H': {
+        int64_t q = p;
+        while (q < end && buf[q] != 0) ++q;
+        if (q >= end) { out.bad = true; return out; }
+        if (mm) {
+          mm->present = true;
+          if (typ == 'Z') mm->z = (const char*)(buf + p);
+          else mm->wrong_type = true;
+        } else if (ml) { ml->present = true; ml->wrong_type = true; }
+        else if (is_mn) { out.mn_present = true; out.mn_wrong_type = true; }
+        p = q + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) { out.bad = true; return out; }
+        char sub = (char)buf[p];
+        uint32_t n; std::memcpy(&n, buf + p + 1, 4);
+        int isz = aux_b_itemsize(sub);
+        if (isz < 0) { out.bad = true; return out; }
+        if (ml) {
+          ml->present = true;
+          if (sub == 'C') { ml->b = buf + p + 5; ml->b_n = n; }
+          else { ml->wrong_type = true; }
+        } else if (mm) { mm->present = true; mm->wrong_type = true; }
+        else if (is_mn) { out.mn_present = true; out.mn_wrong_type = true; }
+        p += 5 + (int64_t)n * isz;
+        break;
+      }
+      default:
+        out.bad = true;
+        return out;
+    }
+  }
+  return out;
+}
+
+// ------------------------------------------------------------ MM parsing
+struct SubTag {
+  char fundamental;  // A C G T U N
+  int mod_strand;    // 0 '+', 1 '-'
+  int mode;          // MODE_*
+  std::vector<Code> codes;
+  std::vector<int64_t> deltas;
+  size_t stride() const { return codes.size(); }
+  size_t size() const { return deltas.size() * codes.size(); }
+};
+
+// Parse one ';'-separated MM element (modtags.py:70 parse_mm_subtag,
+// mod_bam.rs:909). Throws MkError{E_INVALID_MM}.
+SubTag parse_mm_subtag(const char* s, const char* end) {
+  const char* comma = s;
+  while (comma < end && *comma != ',') ++comma;
+  int64_t hlen = comma - s;
+  if (hlen < 2) throw MkError{E_INVALID_MM};  // truncated header
+  char base = s[0];
+  if (!std::strchr("ACGTUN", base)) throw MkError{E_INVALID_MM};
+  char strand_ch = s[1];
+  int strand;
+  if (strand_ch == '+') strand = 0;
+  else if (strand_ch == '-') strand = 1;
+  else throw MkError{E_INVALID_MM};
+
+  SubTag st;
+  st.fundamental = base;
+  st.mod_strand = strand;
+  st.mode = MODE_DEFAULT;
+  const char* b = s + 2;
+  const char* bend = comma;
+  if (b < bend && *b >= '0' && *b <= '9') {
+    // ChEBI numeric code; cannot be combined with char codes
+    const char* j = b;
+    int64_t v = 0;
+    while (j < bend && *j >= '0' && *j <= '9') { v = v * 10 + (*j - '0'); ++j; }
+    st.codes.push_back(v);
+    while (j < bend) {
+      char c = *j;
+      if (c == '?') st.mode = MODE_EXPLICIT;
+      else if (c == '.') st.mode = MODE_IMPLICIT;
+      else throw MkError{E_INVALID_MM};  // 2nd ChEBI or mixing codes
+      ++j;
+    }
+  } else {
+    for (const char* j = b; j < bend; ++j) {
+      char c = *j;
+      if (c == '?') st.mode = MODE_EXPLICIT;
+      else if (c == '.') st.mode = MODE_IMPLICIT;
+      else if (c >= '0' && c <= '9') throw MkError{E_INVALID_MM};
+      else st.codes.push_back(char_code(c));
+    }
+  }
+
+  if (comma < end) {
+    const char* t = comma + 1;
+    while (t < end) {
+      // strict decimal parse of one delta
+      if (*t < '0' || *t > '9') throw MkError{E_INVALID_MM};
+      int64_t v = 0;
+      while (t < end && *t >= '0' && *t <= '9') { v = v * 10 + (*t - '0'); ++t; }
+      st.deltas.push_back(v);
+      if (t < end) {
+        if (*t != ',') throw MkError{E_INVALID_MM};
+        ++t;
+        if (t == end) throw MkError{E_INVALID_MM};  // trailing comma
+      }
+    }
+  }
+  return st;
+}
+
+std::vector<SubTag> parse_mm_tag(const char* raw) {
+  std::vector<SubTag> out;
+  const char* s = raw;
+  while (*s) {
+    const char* e = s;
+    while (*e && *e != ';') ++e;
+    if (e > s) out.push_back(parse_mm_subtag(s, e));
+    s = (*e == ';') ? e + 1 : e;
+  }
+  return out;
+}
+
+// --------------------------------------------------------- decoded groups
+struct Piece {
+  int mode;
+  std::vector<Code> codes;
+  std::vector<int64_t> pos;   // strictly increasing
+  std::vector<float> probs;   // pos.size() x codes.size(), row-major
+  bool inferred;
+};
+
+struct Group {
+  char base;        // 'A'/'C'/'G'/'T'
+  int mod_strand;
+  int mode;
+  std::vector<Code> codes;
+  std::vector<int64_t> pos;       // sorted ascending
+  std::vector<float> probs;       // n x m, -1 = absent
+  std::vector<uint8_t> inferred;  // per position
+  bool empty() const { return pos.empty(); }
+};
+
+inline float qual_to_prob(uint8_t q) { return ((float)q + 0.5f) / 256.0f; }
+
+// combine_positions_to_probs / combine_checked (mod_bam.rs:626-658,
+// 1041-1057; modtags.py:365 _merge_pieces)
+Group merge_pieces(char base, int strand, std::vector<Piece>& plist) {
+  Group g;
+  g.base = base;
+  g.mod_strand = strand;
+  g.mode = plist[0].mode;
+  for (auto& p : plist)
+    if (p.mode != g.mode) { g.mode = MODE_IMPLICIT; break; }
+
+  for (auto& p : plist)
+    for (Code c : p.codes)
+      if (std::find(g.codes.begin(), g.codes.end(), c) == g.codes.end())
+        g.codes.push_back(c);
+  size_t m = g.codes.size();
+
+  if (plist.size() == 1) {
+    Piece& p = plist[0];
+    g.pos = std::move(p.pos);
+    g.probs = std::move(p.probs);
+    g.inferred.assign(g.pos.size(), p.inferred ? 1 : 0);
+    return g;
+  }
+
+  std::vector<int64_t> all;
+  for (auto& p : plist) all.insert(all.end(), p.pos.begin(), p.pos.end());
+  std::sort(all.begin(), all.end());
+  all.erase(std::unique(all.begin(), all.end()), all.end());
+  size_t n = all.size();
+  g.pos = all;
+  g.probs.assign(n * m, -1.0f);
+  g.inferred.assign(n, 0);
+  std::vector<uint8_t> seen(n, 0), multi(n, 0);
+
+  for (auto& p : plist) {
+    if (p.pos.empty()) continue;
+    size_t pm = p.codes.size();
+    std::vector<size_t> cols(pm);
+    for (size_t j = 0; j < pm; ++j)
+      cols[j] = std::find(g.codes.begin(), g.codes.end(), p.codes[j]) -
+                g.codes.begin();
+    for (size_t i = 0; i < p.pos.size(); ++i) {
+      size_t row = std::lower_bound(g.pos.begin(), g.pos.end(), p.pos[i]) -
+                   g.pos.begin();
+      if (seen[row]) {
+        // explicit/inferred flag mismatch at a shared position -> conflict
+        if ((g.inferred[row] != 0) != p.inferred) throw MkError{E_CONFLICT_INF};
+        multi[row] = 1;
+      } else {
+        g.inferred[row] = p.inferred ? 1 : 0;
+        seen[row] = 1;
+      }
+      for (size_t j = 0; j < pm; ++j) {
+        float cur = g.probs[row * m + cols[j]];
+        float add = p.probs[i * pm + j];
+        g.probs[row * m + cols[j]] = (cur < 0.0f) ? add : cur + add;
+      }
+    }
+  }
+  for (size_t row = 0; row < n; ++row) {
+    if (!multi[row]) continue;
+    float s = 0.0f;
+    for (size_t j = 0; j < m; ++j) {
+      float v = g.probs[row * m + j];
+      s += (v > 0.0f) ? v : 0.0f;
+    }
+    if (s > kMaxProb) throw MkError{E_CONFLICT_GT1};
+  }
+  return g;
+}
+
+// ModBaseInfo::new equivalent (mod_bam.rs:1489-1566; modtags.py:267
+// decode_read_mods). fwd is the forward (instrument-orientation) sequence.
+struct ModInfo {
+  // keys in first-seen order; iteration = strand 0 groups then strand 1
+  std::vector<Group> groups;
+};
+
+ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
+                         const uint8_t* ml, int64_t ml_n) {
+  std::vector<SubTag> subtags = parse_mm_tag(raw_mm);
+
+  // base occurrence cache per fundamental base char ('U' matches 'T')
+  std::vector<int64_t> occ_cache[6];
+  bool occ_done[6] = {false, false, false, false, false, false};
+  auto fb_slot = [](char fb) -> int {
+    switch (fb) {
+      case 'A': return 0; case 'C': return 1; case 'G': return 2;
+      case 'T': return 3; case 'U': return 4; default: return 5;  // N
+    }
+  };
+  auto base_positions = [&](char fb) -> const std::vector<int64_t>& {
+    int s = fb_slot(fb);
+    if (!occ_done[s]) {
+      char want = (fb == 'U') ? 'T' : fb;
+      auto& v = occ_cache[s];
+      for (size_t i = 0; i < fwd.size(); ++i)
+        if ((char)fwd[i] == want) v.push_back((int64_t)i);
+      occ_done[s] = true;
+    }
+    return occ_cache[s];
+  };
+
+  // pieces per (base_char, strand) in first-seen key order
+  std::vector<std::pair<char, int>> keys;
+  std::vector<std::vector<Piece>> pieces;
+  auto piece_list = [&](char b, int strand) -> std::vector<Piece>& {
+    for (size_t i = 0; i < keys.size(); ++i)
+      if (keys[i].first == b && keys[i].second == strand) return pieces[i];
+    keys.emplace_back(b, strand);
+    pieces.emplace_back();
+    return pieces.back();
+  };
+
+  int64_t pointer = 0;
+  for (auto& st : subtags) {
+    char fb = st.fundamental;
+    // deltas -> forward-seq positions (mod_bam.rs:694 to_positions)
+    std::vector<int64_t> positions;
+    if (!st.deltas.empty()) {
+      if (fb == 'N') {
+        int64_t cum = 0;
+        positions.reserve(st.deltas.size());
+        for (size_t i = 0; i < st.deltas.size(); ++i) {
+          cum += st.deltas[i];
+          int64_t pos = cum + (int64_t)i;
+          if (pos >= (int64_t)fwd.size()) throw MkError{E_INVALID_MM};
+          positions.push_back(pos);
+        }
+      } else {
+        const auto& bp = base_positions(fb);
+        int64_t occ = -1;
+        positions.reserve(st.deltas.size());
+        for (int64_t d : st.deltas) {
+          occ += d + 1;
+          if (occ >= (int64_t)bp.size()) throw MkError{E_INVALID_MM};
+          positions.push_back(bp[occ]);
+        }
+      }
+    }
+    int64_t endp = pointer + (int64_t)st.size();
+    if (endp > ml_n) throw MkError{E_INVALID_ML};
+    size_t stride = st.stride();
+    // probs for this sub-tag, row-major [n, stride]
+    std::vector<float> probs(positions.size() * stride);
+    for (size_t i = 0; i < positions.size() * stride; ++i)
+      probs[i] = qual_to_prob(ml[pointer + (int64_t)i]);
+    pointer = endp;
+
+    if (fb == 'N') {
+      // group explicit positions by their actual sequence base, ACGT order
+      size_t n_known = 0;
+      for (char b : {'A', 'C', 'G', 'T'}) {
+        std::vector<int64_t> sel;
+        for (size_t i = 0; i < positions.size(); ++i)
+          if ((char)fwd[positions[i]] == b) sel.push_back((int64_t)i);
+        if (sel.empty()) continue;
+        n_known += sel.size();
+        Piece pc;
+        pc.mode = st.mode;
+        pc.codes = st.codes;
+        pc.inferred = false;
+        pc.pos.reserve(sel.size());
+        pc.probs.reserve(sel.size() * stride);
+        for (int64_t i : sel) {
+          pc.pos.push_back(positions[i]);
+          for (size_t j = 0; j < stride; ++j)
+            pc.probs.push_back(probs[i * stride + j]);
+        }
+        piece_list(b, st.mod_strand).push_back(std::move(pc));
+      }
+      if (n_known != positions.size()) throw MkError{E_INVALID_MM};
+    } else {
+      char b = (fb == 'U') ? 'T' : fb;
+      for (int64_t pos : positions)
+        if ((char)fwd[pos] != b) throw MkError{E_INVALID_MM};
+      Piece pc;
+      pc.mode = st.mode;
+      pc.codes = st.codes;
+      pc.inferred = false;
+      pc.pos = positions;
+      pc.probs = std::move(probs);
+      piece_list(b, st.mod_strand).push_back(std::move(pc));
+
+      // implicit-canonical inference (mod_bam.rs:1265-1292)
+      if (mode_is_implicit(st.mode)) {
+        const auto& bp = base_positions(fb);
+        std::vector<int64_t> inf;
+        inf.reserve(bp.size());
+        size_t k = 0;
+        for (int64_t ap : bp) {
+          while (k < positions.size() && positions[k] < ap) ++k;
+          if (k < positions.size() && positions[k] == ap) continue;
+          inf.push_back(ap);
+        }
+        if (!inf.empty()) {
+          Piece ip;
+          ip.mode = st.mode;
+          ip.codes = st.codes;
+          ip.inferred = true;
+          ip.pos = std::move(inf);
+          ip.probs.assign(ip.pos.size() * stride, 0.0f);
+          piece_list(b, st.mod_strand).push_back(std::move(ip));
+        }
+      }
+    }
+  }
+
+  ModInfo info;
+  info.groups.reserve(keys.size());
+  for (size_t i = 0; i < keys.size(); ++i)
+    info.groups.push_back(
+        merge_pieces(keys[i].first, keys[i].second, pieces[i]));
+  return info;
+}
+
+// --------------------------------------------------------------- collapse
+struct CollapseOp {
+  int kind;  // 0 norm, 1 dist, 2 convert
+  std::vector<Code> codes;
+  bool has_to = false;
+  Code to_code = 0;
+};
+
+// BaseModProbs::into_collapsed (mod_bam.rs:530; collapse.py apply_collapse)
+void apply_collapse(std::vector<Code>& codes, std::vector<float>& probs,
+                    size_t& m, size_t n, const CollapseOp& op) {
+  std::vector<int> hit(m, 0);
+  bool any = false;
+  for (size_t j = 0; j < m; ++j)
+    for (Code c : op.codes)
+      if (codes[j] == c) { hit[j] = 1; any = true; }
+  if (!any) return;
+  std::vector<size_t> keep;
+  for (size_t j = 0; j < m; ++j)
+    if (!hit[j]) keep.push_back(j);
+  size_t mk = keep.size();
+
+  if (op.kind == 0 || op.kind == 1) {  // norm / dist
+    std::vector<float> out(n * mk);
+    for (size_t i = 0; i < n; ++i) {
+      const float* row = &probs[i * m];
+      if (op.kind == 0) {
+        float live_sum = 0.0f;
+        for (size_t j = 0; j < m; ++j)
+          live_sum += (row[j] > 0.0f) ? row[j] : 0.0f;
+        float canonical = 1.0f - live_sum;
+        float kept_sum = 0.0f;
+        for (size_t j : keep) kept_sum += (row[j] > 0.0f) ? row[j] : 0.0f;
+        float denom = kept_sum + canonical;
+        for (size_t jj = 0; jj < mk; ++jj) {
+          float live = (row[keep[jj]] > 0.0f) ? row[keep[jj]] : 0.0f;
+          out[i * mk + jj] = (row[keep[jj]] >= 0.0f) ? live / denom : -1.0f;
+        }
+      } else {
+        float removed = 0.0f;
+        for (size_t j = 0; j < m; ++j)
+          if (hit[j]) removed += (row[j] > 0.0f) ? row[j] : 0.0f;
+        float share = removed / (float)(mk + 1);
+        for (size_t jj = 0; jj < mk; ++jj) {
+          float live = (row[keep[jj]] > 0.0f) ? row[keep[jj]] : 0.0f;
+          out[i * mk + jj] = (row[keep[jj]] >= 0.0f) ? live + share : -1.0f;
+        }
+      }
+    }
+    std::vector<Code> nc;
+    for (size_t j : keep) nc.push_back(codes[j]);
+    codes = std::move(nc);
+    probs = std::move(out);
+    m = mk;
+    return;
+  }
+
+  // convert
+  std::vector<Code> nc;
+  for (size_t j : keep) nc.push_back(codes[j]);
+  int64_t tcol = -1;
+  for (size_t jj = 0; jj < mk; ++jj)
+    if (op.has_to && nc[jj] == op.to_code) tcol = (int64_t)jj;
+  std::vector<float> moved(n, 0.0f);
+  std::vector<uint8_t> add_mask(n, 0);
+  bool any_add = false;
+  for (size_t i = 0; i < n; ++i) {
+    const float* row = &probs[i * m];
+    float mv = 0.0f;
+    bool present = false;
+    for (size_t j = 0; j < m; ++j)
+      if (hit[j]) {
+        mv += (row[j] > 0.0f) ? row[j] : 0.0f;
+        if (row[j] >= 0.0f) present = true;
+      }
+    moved[i] = mv;
+    add_mask[i] = (present && mv > 0.0f) ? 1 : 0;
+    if (add_mask[i]) any_add = true;
+  }
+  size_t mo = mk + ((tcol < 0 && any_add) ? 1 : 0);
+  std::vector<float> out(n * mo, -1.0f);
+  for (size_t i = 0; i < n; ++i) {
+    const float* row = &probs[i * m];
+    for (size_t jj = 0; jj < mk; ++jj) {
+      float v = row[keep[jj]];
+      out[i * mo + jj] = (v >= 0.0f) ? ((v > 0.0f) ? v : 0.0f) : -1.0f;
+    }
+    if (tcol >= 0) {
+      if (add_mask[i]) {
+        float cur = out[i * mo + tcol];
+        out[i * mo + tcol] = (cur < 0.0f) ? moved[i] : cur + moved[i];
+      }
+    } else if (any_add) {
+      out[i * mo + mk] = add_mask[i] ? moved[i] : -1.0f;
+    }
+  }
+  if (tcol < 0 && any_add) nc.push_back(op.to_code);
+  m = nc.size();
+  codes = std::move(nc);
+  probs = std::move(out);
+}
+
+// ---------------------------------------------------------- per-read decode
+struct ReadEvents {
+  bool failed = false;
+  int err = E_OK;
+  int aln_strand = 0;
+  // sparse mod-call candidates
+  std::vector<int64_t> mod_rpos;
+  std::vector<int8_t> mod_out, mod_base;
+  std::vector<float> mod_probs;  // n x codes.size()
+  std::vector<Code> codes;
+  // dense features on the alignment strand
+  std::vector<int64_t> nc_rpos;
+  std::vector<int8_t> nc_base;
+  std::vector<int64_t> del_rpos;
+  // registered (out_strand_key, threshold_base) -> code, flattened triples
+  std::vector<std::array<int64_t, 3>> registered;
+  // merged M/D cover intervals
+  std::vector<std::pair<int64_t, int64_t>> cover;
+};
+
+struct DecodeOpts {
+  bool force_allow = false;
+  bool has_edge = false;
+  int64_t edge_start = 0, edge_end = 0;
+  bool edge_inverted = false;
+  std::vector<CollapseOp> collapse;
+};
+
+// aligned match columns with qf ascending (util.rs:122 + stable sort)
+void aligned_pairs_sorted(const Rec& r, std::vector<int64_t>& qf,
+                          std::vector<int64_t>& rp) {
+  struct Run { int64_t q, rr, len; };
+  std::vector<Run> runs;
+  const uint8_t* cg = r.cigar();
+  int64_t q = 0, rr = r.pos;
+  for (int i = 0; i < r.n_cigar; ++i) {
+    uint32_t v;
+    std::memcpy(&v, cg + 4 * i, 4);
+    uint32_t op = v & 0xF;
+    int64_t l = v >> 4;
+    bool cq = (op == 0 || op == 1 || op == 4 || op == 7 || op == 8);
+    bool cr = (op == 0 || op == 2 || op == 3 || op == 7 || op == 8);
+    if (op == 0 || op == 7 || op == 8) runs.push_back({q, rr, l});
+    if (cq) q += l;
+    if (cr) rr += l;
+  }
+  size_t total = 0;
+  for (auto& u : runs) total += (size_t)u.len;
+  qf.reserve(total);
+  rp.reserve(total);
+  if (!r.is_reverse()) {
+    for (auto& u : runs)
+      for (int64_t j = 0; j < u.len; ++j) {
+        qf.push_back(u.q + j);
+        rp.push_back(u.rr + j);
+      }
+  } else {
+    int64_t L = (int64_t)r.l_seq - 1;
+    for (auto it = runs.rbegin(); it != runs.rend(); ++it)
+      for (int64_t j = it->len - 1; j >= 0; --j) {
+        qf.push_back(L - (it->q + j));
+        rp.push_back(it->rr + j);
+      }
+  }
+}
+
+void deletion_positions(const Rec& r, std::vector<int64_t>& out) {
+  const uint8_t* cg = r.cigar();
+  int64_t rr = r.pos;
+  for (int i = 0; i < r.n_cigar; ++i) {
+    uint32_t v;
+    std::memcpy(&v, cg + 4 * i, 4);
+    uint32_t op = v & 0xF;
+    int64_t l = v >> 4;
+    if (op == 2)
+      for (int64_t j = 0; j < l; ++j) out.push_back(rr + j);
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rr += l;
+  }
+}
+
+// merged reference intervals of M/D/=/X ops, split at N (events.py:94)
+void covered_intervals(const Rec& r,
+                       std::vector<std::pair<int64_t, int64_t>>& out) {
+  const uint8_t* cg = r.cigar();
+  int64_t rr = r.pos;
+  for (int i = 0; i < r.n_cigar; ++i) {
+    uint32_t v;
+    std::memcpy(&v, cg + 4 * i, 4);
+    uint32_t op = v & 0xF;
+    int64_t l = v >> 4;
+    bool present = (op == 0 || op == 2 || op == 7 || op == 8) && l > 0;
+    if (present) {
+      if (!out.empty() && out.back().second == rr)
+        out.back().second = rr + l;
+      else
+        out.emplace_back(rr, rr + l);
+    }
+    if (op == 0 || op == 2 || op == 3 || op == 7 || op == 8) rr += l;
+  }
+}
+
+void forward_seq(const Rec& r, std::vector<uint8_t>& fwd) {
+  const uint8_t* s4 = r.seq4();
+  size_t n = r.l_seq;
+  fwd.resize(n);
+  if (!r.is_reverse()) {
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t nb = s4[i / 2];
+      fwd[i] = (i & 1) ? T.nib_lo[nb] : T.nib_hi[nb];
+    }
+  } else {
+    for (size_t i = 0; i < n; ++i) {
+      uint8_t nb = s4[i / 2];
+      uint8_t b = (i & 1) ? T.nib_lo[nb] : T.nib_hi[nb];
+      fwd[n - 1 - i] = T.compl_tab[b];
+    }
+  }
+}
+
+// events.py:114 skipped_read_events — failed reads still sit in the pileup
+void fill_skipped(const Rec& r, const std::vector<uint8_t>& fwd,
+                  ReadEvents& ev) {
+  std::vector<int64_t> qf, rp;
+  aligned_pairs_sorted(r, qf, rp);
+  for (size_t i = 0; i < qf.size(); ++i) {
+    int8_t b = T.base_lut[fwd[qf[i]]];
+    if (b >= 0) {
+      ev.nc_rpos.push_back(rp[i]);
+      ev.nc_base.push_back(b);
+    }
+  }
+  deletion_positions(r, ev.del_rpos);
+}
+
+// read_to_events (events.py:135): full per-read decode + event expansion
+ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
+  ReadEvents ev;
+  ev.aln_strand = r.is_reverse() ? 1 : 0;
+  std::vector<uint8_t> fwd;
+  forward_seq(r, fwd);
+  try {
+    AuxTags aux = scan_aux(r);
+    // parse_raw_mod_tags (mod_bam.rs:1455; modtags.py:433)
+    if (aux.bad) throw MkError{E_INVALID_MM};
+    const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+    if (!mm.present) throw MkError{E_MM_MISSING};
+    if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+    const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+    if (!ml.present) throw MkError{E_ML_MISSING};
+    if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+    if (aux.mn_present) {
+      if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+      if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+    } else if (r.is_not_primary()) {
+      throw MkError{E_NON_PRIMARY_MN};
+    }
+
+    ModInfo info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+    bool empty = true;
+    for (auto& g : info.groups)
+      if (!g.empty()) { empty = false; break; }
+    if (empty) throw MkError{E_NO_MOD_INFO};
+    for (auto& g : info.groups)
+      if (g.mode == MODE_DEFAULT && !opts.force_allow)
+        throw MkError{E_INVALID_IMPLICIT};
+
+    std::vector<int64_t> qf, rp;
+    aligned_pairs_sorted(r, qf, rp);
+    size_t ncol = qf.size();
+    std::vector<uint8_t> hit_any(ncol, 0);
+    std::vector<int8_t> col_base(ncol);
+    for (size_t i = 0; i < ncol; ++i) col_base[i] = T.base_lut[fwd[qf[i]]];
+
+    bool added_any = false;
+    // event rows stored at final read-vocab width later; remember per-event
+    // (group probs row base, group column map) via a staging buffer
+    struct Staged {
+      std::vector<int64_t> rpos;
+      int8_t out_strand, base;
+      std::vector<float> probs;  // n x gm
+      std::vector<size_t> cols;  // gm -> read code col
+      size_t gm;
+    };
+    std::vector<Staged> staged;
+
+    for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+      for (auto& g : info.groups) {
+        if (g.mod_strand != strand_pass) continue;
+        std::vector<int64_t> positions = g.pos;
+        std::vector<float> probs = g.probs;
+        std::vector<Code> gcodes = g.codes;
+        size_t gm = gcodes.size();
+        if (opts.has_edge) {
+          if ((int64_t)r.l_seq <= opts.edge_start + opts.edge_end) continue;
+          int64_t lo = opts.edge_start, hi = (int64_t)r.l_seq - opts.edge_end;
+          std::vector<int64_t> np_;
+          std::vector<float> npr;
+          for (size_t i = 0; i < positions.size(); ++i) {
+            bool inside = positions[i] >= lo && positions[i] < hi;
+            bool keepi = opts.edge_inverted ? !inside : inside;
+            if (keepi) {
+              np_.push_back(positions[i]);
+              for (size_t j = 0; j < gm; ++j) npr.push_back(probs[i * gm + j]);
+            }
+          }
+          if (np_.empty()) continue;
+          positions = std::move(np_);
+          probs = std::move(npr);
+        }
+        for (const auto& op : opts.collapse)
+          apply_collapse(gcodes, probs, gm, positions.size(), op);
+
+        // register read-local code columns
+        std::vector<size_t> cols(gm);
+        for (size_t j = 0; j < gm; ++j) {
+          auto it = std::find(ev.codes.begin(), ev.codes.end(), gcodes[j]);
+          if (it == ev.codes.end()) {
+            cols[j] = ev.codes.size();
+            ev.codes.push_back(gcodes[j]);
+          } else {
+            cols[j] = it - ev.codes.begin();
+          }
+        }
+
+        int b_idx = base_char_to_idx(g.base);
+        int threshold_b = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
+        int out_strand_key = ev.aln_strand ^ g.mod_strand;
+        // codes with a present class at >= 1 position register for the read
+        // (read_cache.rs:170-195)
+        for (size_t j = 0; j < gm; ++j) {
+          bool present_any = false;
+          for (size_t i = 0; i < positions.size(); ++i)
+            if (probs[i * gm + j] >= 0.0f) { present_any = true; break; }
+          if (present_any)
+            ev.registered.push_back(
+                {(int64_t)out_strand_key, (int64_t)threshold_b,
+                 (int64_t)gcodes[j]});
+        }
+
+        // intersect group positions with aligned columns (both sorted)
+        Staged sg;
+        sg.out_strand = (int8_t)out_strand_key;
+        sg.base = (int8_t)threshold_b;
+        sg.cols = cols;
+        sg.gm = gm;
+        size_t k = 0;
+        for (size_t i = 0; i < positions.size(); ++i) {
+          while (k < ncol && qf[k] < positions[i]) ++k;
+          if (k < ncol && qf[k] == positions[i]) {
+            hit_any[k] = 1;
+            sg.rpos.push_back(rp[k]);
+            for (size_t j = 0; j < gm; ++j)
+              sg.probs.push_back(probs[i * gm + j]);
+          }
+        }
+        added_any = true;
+        if (!sg.rpos.empty()) staged.push_back(std::move(sg));
+      }
+    }
+    if (!added_any) throw MkError{E_NO_MOD_INFO};
+
+    // materialize events at final read-vocab width
+    size_t m = ev.codes.size();
+    size_t n_ev = 0;
+    for (auto& sg : staged) n_ev += sg.rpos.size();
+    ev.mod_rpos.reserve(n_ev);
+    ev.mod_out.reserve(n_ev);
+    ev.mod_base.reserve(n_ev);
+    ev.mod_probs.assign(n_ev * m, -1.0f);
+    size_t row = 0;
+    for (auto& sg : staged) {
+      for (size_t i = 0; i < sg.rpos.size(); ++i, ++row) {
+        ev.mod_rpos.push_back(sg.rpos[i]);
+        ev.mod_out.push_back(sg.out_strand);
+        ev.mod_base.push_back(sg.base);
+        for (size_t j = 0; j < sg.gm; ++j)
+          ev.mod_probs[row * m + sg.cols[j]] = sg.probs[i * sg.gm + j];
+      }
+    }
+
+    // nocall: aligned columns with a valid base and no call on either strand
+    for (size_t i = 0; i < ncol; ++i)
+      if (col_base[i] >= 0 && !hit_any[i]) {
+        ev.nc_rpos.push_back(rp[i]);
+        ev.nc_base.push_back(col_base[i]);
+      }
+    deletion_positions(r, ev.del_rpos);
+    covered_intervals(r, ev.cover);
+    return ev;
+  } catch (const MkError& e) {
+    ReadEvents bad;
+    bad.failed = true;
+    bad.err = e.kind;
+    bad.aln_strand = r.is_reverse() ? 1 : 0;
+    fill_skipped(r, fwd, bad);
+    return bad;
+  }
+}
+
+// -------------------------------------------------------------- tile output
+struct TileBuffers {
+  std::vector<int32_t> ev_rpos;
+  std::vector<int8_t> ev_strand, ev_base;
+  std::vector<float> ev_probs;
+  std::vector<int32_t> nc_counts, del_counts;
+  std::vector<uint8_t> observed;
+  std::vector<int64_t> vocab;
+};
+
+}  // namespace
+
+extern "C" {
+
+struct MkTileOut {
+  int64_t n_events;
+  int32_t m;
+  const int32_t* ev_rpos;
+  const int8_t* ev_strand;
+  const int8_t* ev_base;
+  const float* ev_probs;
+  const int32_t* nc_counts;   // p*2*4
+  const int32_t* del_counts;  // p*2
+  const uint8_t* observed;    // p*2*4*m
+  const int64_t* vocab;       // m
+  int32_t n_used, n_skipped;
+  int64_t n_nc, n_del;
+  int64_t err_counts[16];
+  void* handle;
+};
+
+// Decode one genome tile's fetched (decompressed) BAM chunks into pileup
+// event arrays. Returns 0 on success. Caller must mk_free_tile(out).
+int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
+                       int32_t n_chunks, int32_t tid, int64_t start,
+                       int64_t end, int32_t force_allow, int32_t has_edge,
+                       int64_t edge_start, int64_t edge_end,
+                       int32_t edge_inverted, const int64_t* collapse_blob,
+                       int32_t collapse_len, const int8_t* focus_rule,
+                       int32_t n_threads, MkTileOut* out) {
+  std::memset(out, 0, sizeof(MkTileOut));
+  DecodeOpts opts;
+  opts.force_allow = force_allow != 0;
+  opts.has_edge = has_edge != 0;
+  opts.edge_start = edge_start;
+  opts.edge_end = edge_end;
+  opts.edge_inverted = edge_inverted != 0;
+  // collapse blob: per op [kind, n_codes, codes..., has_to, to_code]
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    opts.collapse.push_back(std::move(op));
+  }
+
+  // ---- collect record views (fetch filter, bam.py:402-422 semantics) ----
+  std::vector<Rec> recs;
+  bool stop = false;
+  for (int32_t c = 0; c < n_chunks && !stop; ++c) {
+    const uint8_t* buf = chunks[c];
+    int64_t len = chunk_lens[c];
+    int64_t p = 0;
+    while (p + 4 <= len) {
+      int32_t bs;
+      std::memcpy(&bs, buf + p, 4);
+      if (bs < 32 || p + 4 + bs > len) break;  // partial tail
+      Rec r;
+      r.p = buf + p + 4;
+      r.len = bs;
+      r.parse_head();
+      p += 4 + bs;
+      if (r.ref_id != tid || r.pos >= end) {
+        if (r.ref_id > tid || (r.ref_id == tid && r.pos >= end)) {
+          stop = true;
+          break;
+        }
+        continue;
+      }
+      if (r.is_unmapped()) continue;
+      if (r.pos + r.reference_span() <= start) continue;
+      // pileup engine filter (engine.py:167)
+      if (r.is_not_primary() || r.l_seq == 0) continue;
+      recs.push_back(r);
+    }
+  }
+
+  int64_t p_len = end - start;
+  auto* bufs = new TileBuffers();
+  out->handle = bufs;
+  out->nc_counts = nullptr;
+  out->del_counts = nullptr;
+
+  if (recs.empty()) return 0;
+
+  // ---- parallel per-read decode, deterministic order kept by index ----
+  std::vector<ReadEvents> events(recs.size());
+  int nt = n_threads > 0 ? n_threads : 1;
+  if (nt > 1 && recs.size() > 1) {
+    std::atomic<size_t> next{0};
+    auto worker = [&]() {
+      for (;;) {
+        size_t i = next.fetch_add(1);
+        if (i >= recs.size()) return;
+        events[i] = decode_read(recs[i], opts);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  } else {
+    for (size_t i = 0; i < recs.size(); ++i)
+      events[i] = decode_read(recs[i], opts);
+  }
+
+  // ---- sequential tile assembly (vocab + event arrays + histograms) ----
+  std::vector<Code>& vocab = bufs->vocab;
+  auto vindex = [&](Code c) -> size_t {
+    for (size_t i = 0; i < vocab.size(); ++i)
+      if (vocab[i] == c) return i;
+    vocab.push_back(c);
+    return vocab.size() - 1;
+  };
+  for (auto& ev : events) {
+    if (ev.failed) {
+      out->err_counts[ev.err]++;
+      out->n_skipped++;
+    } else {
+      out->n_used++;
+      for (Code c : ev.codes) vindex(c);
+    }
+  }
+  size_t m = std::max(vocab.size(), (size_t)1);
+
+  // count events to reserve
+  size_t n_ev_total = 0;
+  for (auto& ev : events) n_ev_total += ev.mod_rpos.size();
+  bufs->ev_rpos.reserve(n_ev_total);
+  bufs->ev_strand.reserve(n_ev_total);
+  bufs->ev_base.reserve(n_ev_total);
+  bufs->ev_probs.reserve(n_ev_total * m);
+
+  bufs->nc_counts.assign((size_t)p_len * 2 * 4, 0);
+  bufs->del_counts.assign((size_t)p_len * 2, 0);
+  bufs->observed.assign((size_t)p_len * 2 * 4 * m, 0);
+  int64_t n_nc = 0, n_del = 0;
+
+  for (auto& ev : events) {
+    int s = ev.aln_strand;
+    size_t rm = ev.codes.size();
+    std::vector<size_t> cols(rm);
+    for (size_t j = 0; j < rm; ++j) cols[j] = vindex(ev.codes[j]);
+    // sparse mod-call events clipped to the tile + focus rule
+    for (size_t i = 0; i < ev.mod_rpos.size(); ++i) {
+      int64_t rp = ev.mod_rpos[i];
+      if (rp < start || rp >= end) continue;
+      int64_t li = rp - start;
+      if (focus_rule != nullptr) {
+        int8_t rv = focus_rule[li];
+        if (!(rv == 2 || rv == ev.mod_out[i])) continue;
+      }
+      bufs->ev_rpos.push_back((int32_t)li);
+      bufs->ev_strand.push_back(ev.mod_out[i]);
+      bufs->ev_base.push_back(ev.mod_base[i]);
+      size_t base_off = bufs->ev_probs.size();
+      bufs->ev_probs.resize(base_off + m, -1.0f);
+      for (size_t j = 0; j < rm; ++j)
+        bufs->ev_probs[base_off + cols[j]] = ev.mod_probs[i * rm + j];
+    }
+    // nocall histogram
+    for (size_t i = 0; i < ev.nc_rpos.size(); ++i) {
+      int64_t li = ev.nc_rpos[i] - start;
+      if (li < 0 || li >= p_len) continue;
+      if (focus_rule != nullptr) {
+        int8_t rv = focus_rule[li];
+        if (!(rv == 2 || rv == s)) continue;
+      }
+      bufs->nc_counts[(li * 2 + s) * 4 + ev.nc_base[i]]++;
+      ++n_nc;
+    }
+    // delete histogram
+    for (size_t i = 0; i < ev.del_rpos.size(); ++i) {
+      int64_t li = ev.del_rpos[i] - start;
+      if (li < 0 || li >= p_len) continue;
+      if (focus_rule != nullptr) {
+        int8_t rv = focus_rule[li];
+        if (!(rv == 2 || rv == s)) continue;
+      }
+      bufs->del_counts[li * 2 + s]++;
+      ++n_del;
+    }
+    // observed-code painting over covered intervals (read_cache.rs:298)
+    if (!ev.registered.empty() && !ev.cover.empty()) {
+      for (auto& reg : ev.registered) {
+        int64_t sk = reg[0], tb = reg[1];
+        size_t col = vindex(reg[2]);
+        for (auto& iv : ev.cover) {
+          int64_t a2 = std::max(iv.first - start, (int64_t)0);
+          int64_t b2 = std::min(iv.second - start, p_len);
+          for (int64_t x = a2; x < b2; ++x)
+            bufs->observed[(((size_t)x * 2 + sk) * 4 + tb) * m + col] = 1;
+        }
+      }
+    }
+  }
+
+  out->n_events = (int64_t)bufs->ev_rpos.size();
+  out->m = (int32_t)m;
+  out->ev_rpos = bufs->ev_rpos.data();
+  out->ev_strand = bufs->ev_strand.data();
+  out->ev_base = bufs->ev_base.data();
+  out->ev_probs = bufs->ev_probs.data();
+  out->nc_counts = bufs->nc_counts.data();
+  out->del_counts = bufs->del_counts.data();
+  out->observed = bufs->observed.data();
+  out->vocab = bufs->vocab.data();
+  out->n_nc = n_nc;
+  out->n_del = n_del;
+  return 0;
+}
+
+void mk_free_tile(MkTileOut* out) {
+  delete static_cast<TileBuffers*>(out->handle);
+  out->handle = nullptr;
+}
+
+}  // extern "C"
