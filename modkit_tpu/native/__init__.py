@@ -112,6 +112,34 @@ def load():
             ]
             lib.mk_free_tile.restype = None
             lib.mk_free_tile.argtypes = [ctypes.POINTER(_MkTileOut)]
+            lib.mk_export_events.restype = None
+            lib.mk_export_events.argtypes = [
+                ctypes.POINTER(_MkTileOut),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+            ]
+            lib.mk_format_rows.restype = ctypes.c_int32
+            lib.mk_format_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_int32),   # counts
+                ctypes.c_int64,                   # p
+                ctypes.c_int32,                   # k
+                ctypes.POINTER(ctypes.c_uint8),   # observed
+                ctypes.c_int32,                   # m
+                ctypes.POINTER(ctypes.c_char_p),  # labels
+                ctypes.POINTER(ctypes.c_int32),   # code_order
+                ctypes.c_int64,                   # tile_start
+                ctypes.c_char_p,                  # chrom
+                ctypes.c_int32,                   # combine_mods
+                ctypes.c_char,                    # space char
+                ctypes.POINTER(ctypes.c_void_p),  # out buf
+                ctypes.POINTER(ctypes.c_int64),   # out len
+                ctypes.POINTER(ctypes.c_int64),   # out rows
+            ]
+            lib.mk_free_buf.restype = None
+            lib.mk_free_buf.argtypes = [ctypes.c_void_p]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -202,54 +230,159 @@ def decode_tile(
     )
     if rc != 0:
         raise RuntimeError(f"mk_decode_tile failed rc={rc}")
-    try:
-        p = end - start
-        n = out.n_events
-        m = max(out.m, 1)
+    return NativeTile(lib, out, end - start, keepalive=(chunks, blob, fr))
 
-        def arr(ptr, count, dtype):
-            if count == 0 or not ptr:
-                return np.empty(0, dtype=dtype)
-            return np.ctypeslib.as_array(ptr, shape=(count,)).copy().astype(
-                dtype, copy=False
-            )
 
-        res = dict(
-            rpos=arr(out.ev_rpos, n, np.int32),
-            strand=arr(out.ev_strand, n, np.int8),
-            base=arr(out.ev_base, n, np.int8),
-            probs=arr(out.ev_probs, n * m, np.float32).reshape(n, m),
-            n_used=int(out.n_used),
-            n_skipped=int(out.n_skipped),
-        )
-        res["vocab"] = [
-            decode_code(v) for v in arr(out.vocab, out.m, np.int64)
-        ] if out.m and out.vocab else []
-        if out.nc_counts and out.n_nc > 0:
-            res["nc_counts"] = arr(out.nc_counts, p * 2 * 4, np.int32).reshape(
-                p, 2, 4
-            )
-        else:
-            res["nc_counts"] = None
-        if out.del_counts and out.n_del > 0:
-            res["del_counts"] = arr(out.del_counts, p * 2, np.int32).reshape(
-                p, 2
-            )
-        else:
-            res["del_counts"] = None
-        if out.observed:
-            res["observed"] = (
-                arr(out.observed, p * 2 * 4 * m, np.uint8)
-                .reshape(p, 2, 4, m)
-                .astype(bool)
-            )
-        else:
-            res["observed"] = np.zeros((p, 2, 4, m), dtype=bool)
-        res["errors"] = {
+class NativeTile:
+    """A decoded tile held in native memory. Sparse events export on demand
+    (optionally pre-padded for the device kernel); histograms/metadata copy
+    lazily. Dict-style access mirrors the Python assembly for tests."""
+
+    def __init__(self, lib, out, p, keepalive=None):
+        self._lib = lib
+        self._out = out
+        self._p = p
+        self.n_events = int(out.n_events)
+        self.m = max(int(out.m), 1)
+        self.n_used = int(out.n_used)
+        self.n_skipped = int(out.n_skipped)
+        self.errors = {
             ERR_KINDS[i]: int(out.err_counts[i])
             for i in range(len(ERR_KINDS))
             if out.err_counts[i]
         }
-        return res
+        self.vocab = (
+            [
+                decode_code(v)
+                for v in np.ctypeslib.as_array(out.vocab, shape=(out.m,))
+            ]
+            if out.m and out.vocab
+            else []
+        )
+
+    def __del__(self):
+        out = getattr(self, "_out", None)
+        if out is not None and out.handle:
+            self._lib.mk_free_tile(ctypes.byref(out))
+
+    def export_events(self, n_pad: int | None = None, m_pad: int | None = None):
+        """(rpos_i32, strand_i32, base_i32, probs_f32[n_pad, m_pad]) padded
+        exactly as the device kernel expects (zeros / -1 fill)."""
+        n = self.n_events
+        m = self.m
+        n_pad = n if n_pad is None else n_pad
+        m_pad = m if m_pad is None else m_pad
+        rpos = np.empty(n_pad, dtype=np.int32)
+        strand = np.empty(n_pad, dtype=np.int32)
+        base = np.empty(n_pad, dtype=np.int32)
+        probs = np.empty((n_pad, m_pad), dtype=np.float32)
+        self._lib.mk_export_events(
+            ctypes.byref(self._out), n_pad, m_pad,
+            rpos.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            strand.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            base.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return rpos, strand, base, probs
+
+    # ---- lazy copies of the dense per-tile outputs ----
+    @property
+    def nc_counts(self):
+        out = self._out
+        if not out.nc_counts or out.n_nc == 0:
+            return None
+        return (
+            np.ctypeslib.as_array(out.nc_counts, shape=(self._p * 2 * 4,))
+            .copy()
+            .reshape(self._p, 2, 4)
+        )
+
+    @property
+    def del_counts(self):
+        out = self._out
+        if not out.del_counts or out.n_del == 0:
+            return None
+        return (
+            np.ctypeslib.as_array(out.del_counts, shape=(self._p * 2,))
+            .copy()
+            .reshape(self._p, 2)
+        )
+
+    @property
+    def observed(self):
+        out = self._out
+        m = self.m
+        if not out.observed:
+            return np.zeros((self._p, 2, 4, m), dtype=bool)
+        return (
+            np.ctypeslib.as_array(out.observed, shape=(self._p * 2 * 4 * m,))
+            .reshape(self._p, 2, 4, m)
+            .astype(bool)
+        )
+
+    def observed_raw(self):
+        """uint8 view of the native observed mask (no copy)."""
+        out = self._out
+        return np.ctypeslib.as_array(
+            out.observed, shape=(self._p, 2, 4, self.m)
+        )
+
+    # dict-style access used by the equivalence tests
+    def __getitem__(self, key):
+        if key in ("rpos", "strand", "base", "probs"):
+            rpos, strand, base, probs = self.export_events()
+            vals = dict(
+                rpos=rpos,
+                strand=strand.astype(np.int8),
+                base=base.astype(np.int8),
+                probs=probs,
+            )
+            return vals[key]
+        return getattr(self, key)
+
+
+def format_rows(
+    counts: np.ndarray,
+    observed_u8: np.ndarray,
+    labels: list,
+    code_order: np.ndarray,
+    tile_start: int,
+    chrom: str,
+    combine_mods: bool,
+    space: str,
+) -> tuple[bytes, int] | None:
+    """Native fused row decode + bedMethyl text formatting (no-focus path).
+    Returns (text_bytes, n_rows) or None if native is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    observed_u8 = np.ascontiguousarray(observed_u8, dtype=np.uint8)
+    p, _, k = counts.shape
+    m = observed_u8.shape[3] if observed_u8.ndim == 4 else 0
+    label_bytes = [str(c).encode() for c in labels]
+    LabelArr = ctypes.c_char_p * max(len(label_bytes), 1)
+    c_labels = LabelArr(*label_bytes) if label_bytes else LabelArr()
+    order = np.ascontiguousarray(code_order, dtype=np.int32)
+    buf = ctypes.c_void_p()
+    blen = ctypes.c_int64()
+    rows = ctypes.c_int64()
+    rc = lib.mk_format_rows(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p, k,
+        observed_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        m,
+        ctypes.cast(c_labels, ctypes.POINTER(ctypes.c_char_p)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        tile_start, chrom.encode(),
+        1 if combine_mods else 0,
+        space.encode(),
+        ctypes.byref(buf), ctypes.byref(blen), ctypes.byref(rows),
+    )
+    if rc != 0:
+        raise RuntimeError("mk_format_rows failed")
+    try:
+        text = ctypes.string_at(buf.value, blen.value) if blen.value else b""
     finally:
-        lib.mk_free_tile(ctypes.byref(out))
+        lib.mk_free_buf(buf)
+    return text, int(rows.value)

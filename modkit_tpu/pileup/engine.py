@@ -73,6 +73,17 @@ class ColumnarRows:
         return [format(v, ".2f") for v in pv.astype(np.float64).tolist()]
 
 
+@dataclass(slots=True)
+class FormattedRows:
+    """bedMethyl rows already rendered to text (native fast path)."""
+
+    text: bytes
+    n_rows: int
+
+    def __len__(self) -> int:
+        return self.n_rows
+
+
 @dataclass
 class PileupOptions:
     combine_mods: bool = False  # PileupNumericOptions::Combine
@@ -96,11 +107,12 @@ class TilePending:
     modc: object  # jax.Array [p_pad, 2, Km] in flight, or numpy fallback
     nc_counts: np.ndarray | None  # [p, 2, 4] host nocall bincount
     del_counts: np.ndarray | None  # [p, 2] host delete bincount
-    observed: np.ndarray  # [p, 2, 4, m] observed-code mask
+    observed: np.ndarray | None  # [p, 2, 4, m] mask (None with native tile)
     vocab: list
     start: int
     p: int
     focus: object
+    native: object = None  # NativeTile keeping the decoded tile alive
 
 
 class TileProcessor:
@@ -187,19 +199,14 @@ class TileProcessor:
                 focus_rule=focus_rule,
             )
             if res is not None:
-                self.n_used += res["n_used"]
-                self.n_skipped += res["n_skipped"]
-                for kind, n in res["errors"].items():
+                self.n_used += res.n_used
+                self.n_skipped += res.n_skipped
+                for kind, n in res.errors.items():
                     self.errors[kind] += n
-                if (
-                    res["n_used"] + res["n_skipped"] == 0
-                    and len(res["rpos"]) == 0
-                ):
+                if res.n_used + res.n_skipped == 0 and res.n_events == 0:
                     return None
-                return self._dispatch_tile(
-                    res["rpos"], res["strand"], res["base"], res["probs"],
-                    res["nc_counts"], res["del_counts"], res["observed"],
-                    res["vocab"], start, end - start, focus,
+                return self._dispatch_native_tile(
+                    res, start, end - start, focus
                 )
 
         reads = []
@@ -320,39 +327,56 @@ class TileProcessor:
             modc, nc_counts, del_counts, observed, vocab, start, p, focus
         )
 
-    def _dispatch_tile(
-        self, rpos, strand, base_idx, probs, nc_counts, del_counts,
-        observed, vocab, start, p, focus
+    def _dispatch_native_tile(
+        self, res, start, p, focus
     ) -> "TilePending":
-        """Dispatch the device kernel over pre-assembled (native) tile
-        event arrays and return the in-flight TilePending."""
+        """Dispatch the device kernel over a NativeTile's events (exported
+        pre-padded by the C++ side, so no numpy pad/copy passes)."""
+        from ..ops.pileup_counts import (
+            modcall_count_kernel, round_up_codes, round_up_events,
+            round_up_positions,
+        )
+
+        vocab = res.vocab
         m = max(len(vocab), 1)
-        if len(rpos):
+        n = res.n_events
+        if n:
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
             if self.opts.use_device:
-                modc = dispatch_modcall_counts(
-                    rpos.astype(np.int32), strand.astype(np.int32),
-                    base_idx.astype(np.int32), probs, thr_mod, thr_can, p
+                import jax.numpy as jnp
+
+                m_pad = round_up_codes(m)
+                nb = round_up_events(n)
+                p_pad = round_up_positions(p)
+                rpos, strand, base_idx, probs = res.export_events(nb, m_pad)
+                thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
+                valid = np.zeros(nb, dtype=bool)
+                valid[:n] = True
+                modc = modcall_count_kernel(
+                    jnp.asarray(rpos), jnp.asarray(strand),
+                    jnp.asarray(base_idx), jnp.asarray(probs),
+                    jnp.asarray(valid),
+                    jnp.asarray(thr_mod_p.astype(np.float32)),
+                    jnp.asarray(thr_can.astype(np.float32)),
+                    num_positions=p_pad, num_codes=m_pad,
                 )
+                modc.copy_to_host_async()
             else:
+                rpos, strand, base_idx, probs = res.export_events()
                 modc = modcall_counts_numpy(
                     rpos.astype(np.int64), strand.astype(np.int64),
                     base_idx.astype(np.int64), probs, thr_mod, thr_can, p, m
                 )
         else:
             modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
-        if hasattr(modc, "copy_to_host_async"):
-            modc.copy_to_host_async()
         return TilePending(
-            modc, nc_counts, del_counts, observed, vocab, start, p, focus
+            modc, res.nc_counts, res.del_counts, None, vocab, start, p,
+            focus, native=res,
         )
 
-    def finish_tile(
-        self, pending: "TilePending | None"
-    ) -> list[tuple[int, list[PileupRow]]]:
-        """Materialize a launched tile's device counts and decode rows."""
-        if pending is None:
-            return []
+    def assemble_counts(self, pending: "TilePending") -> np.ndarray:
+        """Merge in-flight device mod-call counts with the host coverage
+        histograms into the full count tensor [p, 2, 6 + 4*(m_pad+1)]."""
         p = pending.p
         modc = np.asarray(pending.modc)[:p]
         m_pad = (modc.shape[2] - 1) // 4 - 1
@@ -364,14 +388,55 @@ class TileProcessor:
             counts[:, :, 2:6] = pending.nc_counts
         if pending.del_counts is not None:
             counts[:, :, 0] = pending.del_counts
+        return counts
+
+    def _observed(self, pending: "TilePending") -> np.ndarray:
+        if pending.observed is not None:
+            return pending.observed
+        return pending.native.observed
+
+    def finish_tile(
+        self, pending: "TilePending | None", chrom: str | None = None,
+        space: str = "\t",
+    ):
+        """Materialize a launched tile's device counts and decode rows.
+
+        With ``chrom`` given and the no-focus fast path applicable, returns
+        FormattedRows (bedMethyl text bytes rendered natively); otherwise
+        ColumnarRows or a list of (pos, rows).
+        """
+        if pending is None:
+            return []
+        counts = self.assemble_counts(pending)
 
         if pending.focus is None and not self.opts.combine_strands:
+            if (
+                pending.native is not None
+                and chrom is not None
+                and (pending.vocab or self.opts.combine_mods)
+            ):
+                from .. import native
+
+                order = np.asarray(
+                    sorted(
+                        range(len(pending.vocab)),
+                        key=lambda i: mod_code_sort_key(pending.vocab[i]),
+                    ),
+                    dtype=np.int32,
+                )
+                out = native.format_rows(
+                    counts, pending.native.observed_raw(), pending.vocab,
+                    order, pending.start, chrom, self.opts.combine_mods,
+                    space,
+                )
+                if out is not None:
+                    return FormattedRows(out[0], out[1])
             return decode_counts_columnar(
-                counts, pending.observed, pending.vocab, pending.start,
-                combine_mods=self.opts.combine_mods,
+                counts, self._observed(pending), pending.vocab,
+                pending.start, combine_mods=self.opts.combine_mods,
             )
         decoded = decode_counts(
-            counts, pending.observed, pending.vocab, pending.start,
+            counts, self._observed(pending), pending.vocab, pending.start,
             combine_mods=self.opts.combine_mods,
             focus=pending.focus,
         )

@@ -15,7 +15,9 @@ from dataclasses import dataclass, field
 from ..caller import ThresholdCaller
 from ..io.bam import BamReader
 from ..writers import BedGraphWriter, BedMethylWriter
-from .engine import ColumnarRows, PileupOptions, TileProcessor
+from .engine import (
+    ColumnarRows, FormattedRows, PileupOptions, TileProcessor,
+)
 
 
 @dataclass
@@ -232,8 +234,14 @@ def run_pileup(cfg: PileupConfig) -> dict:
     def finish_and_write(inflight):
         nonlocal n_rows
         chrom, tid, start, end, pend = inflight
-        res = proc.finish_tile(pend)
-        if isinstance(res, ColumnarRows):
+        if isinstance(writer, BedMethylWriter):
+            res = proc.finish_tile(pend, chrom=chrom, space=writer.space)
+        else:
+            res = proc.finish_tile(pend)
+        if isinstance(res, FormattedRows):
+            writer.write_formatted(res)
+            n_rows += len(res)
+        elif isinstance(res, ColumnarRows):
             writer.write_columnar(chrom, res)
             n_rows += len(res)
         else:

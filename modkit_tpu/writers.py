@@ -157,6 +157,13 @@ class BedMethylWriter:
         self.rows_written += n
         self._fh.write("".join(buf))
 
+    def write_formatted(self, formatted) -> None:
+        """Emit a FormattedRows batch (text already rendered natively)."""
+        if formatted.n_rows == 0:
+            return
+        self.rows_written += formatted.n_rows
+        self._fh.write(formatted.text.decode("ascii"))
+
     def close(self):
         self._fh.flush()
         if self._owns:

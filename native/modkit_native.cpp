@@ -23,6 +23,8 @@
 #include <atomic>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <string>
 #include <thread>
@@ -1205,5 +1207,170 @@ void mk_free_tile(MkTileOut* out) {
   delete static_cast<TileBuffers*>(out->handle);
   out->handle = nullptr;
 }
+
+// Export the decoded tile's sparse events directly into caller-allocated
+// buffers padded to (n_pad, m_pad): positions/strand/base zero-padded,
+// probs -1-padded (rows beyond n_events and code columns beyond m). This
+// matches the padding dispatch_modcall_counts applies, so the Python side
+// ships the buffers straight to the device without numpy pad/copy passes.
+void mk_export_events(const MkTileOut* out, int64_t n_pad, int32_t m_pad,
+                      int32_t* rpos, int32_t* strand, int32_t* base,
+                      float* probs) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int64_t n = out->n_events;
+  int32_t m = out->m;
+  std::memcpy(rpos, bufs->ev_rpos.data(), n * sizeof(int32_t));
+  std::memset(rpos + n, 0, (n_pad - n) * sizeof(int32_t));
+  for (int64_t i = 0; i < n; ++i) strand[i] = bufs->ev_strand[i];
+  std::memset(strand + n, 0, (n_pad - n) * sizeof(int32_t));
+  for (int64_t i = 0; i < n; ++i) base[i] = bufs->ev_base[i];
+  std::memset(base + n, 0, (n_pad - n) * sizeof(int32_t));
+  if (m_pad == m) {
+    std::memcpy(probs, bufs->ev_probs.data(), n * m * sizeof(float));
+    for (int64_t i = n * m; i < n_pad * m_pad; ++i) probs[i] = -1.0f;
+  } else {
+    for (int64_t i = 0; i < n; ++i) {
+      std::memcpy(probs + i * m_pad, bufs->ev_probs.data() + i * m,
+                  m * sizeof(float));
+      for (int32_t j = m; j < m_pad; ++j) probs[i * m_pad + j] = -1.0f;
+    }
+    for (int64_t i = n * m_pad; i < n_pad * m_pad; ++i) probs[i] = -1.0f;
+  }
+}
+
+// ---------------------------------------------------------- row formatting
+// Fused FeatureVector::decode + BedMethylWriter row emission for the
+// no-focus pileup path (pileup/mod.rs:412 decode, writers.rs:94-156 row
+// format; byte-identical to engine.decode_counts_columnar +
+// writers.BedMethylWriter.write_columnar).
+//
+// counts: [p, 2, k] int32 with k = 6 + 4*(m_pad+1)
+// observed: [p, 2, 4, m] uint8 (m = label count)
+// labels: m NUL-terminated code label strings
+// code_order: label indices sorted by mod-code order (ChEBI < char)
+int32_t mk_format_rows(const int32_t* counts, int64_t p, int32_t k,
+                       const uint8_t* observed, int32_t m,
+                       const char** labels, const int32_t* code_order,
+                       int64_t tile_start, const char* chrom,
+                       int32_t combine_mods, char space_ch,
+                       char** out_buf, int64_t* out_len, int64_t* out_rows) {
+  int32_t m_pad = (k - 6) / 4 - 1;
+  std::string buf;
+  buf.reserve((size_t)p * 32);
+  int64_t rows = 0;
+  size_t chrom_len = std::strlen(chrom);
+  char tmp[32];
+  static const char* ANY_MOD = "ACGT";  // any-mod code label per base
+
+  auto put_i64 = [&](int64_t v) {
+    int len = 0;
+    if (v == 0) {
+      buf.push_back('0');
+      return;
+    }
+    char d[24];
+    while (v > 0) {
+      d[len++] = (char)('0' + v % 10);
+      v /= 10;
+    }
+    while (len) buf.push_back(d[--len]);
+  };
+
+  for (int64_t pi = 0; pi < p; ++pi) {
+    const int32_t* row0 = counts + (pi * 2) * k;
+    for (int s = 0; s < 2; ++s) {
+      const int32_t* c = row0 + s * k;
+      // per-base canonical / mod sums
+      int64_t valid_b[4], can_b[4], modsum_b[4];
+      int64_t total_valid = 0, total_nocall = 0;
+      for (int b = 0; b < 4; ++b) {
+        const int32_t* body = c + 6 + b * (m_pad + 1);
+        can_b[b] = body[0];
+        int64_t ms = 0;
+        for (int32_t j = 0; j < m_pad; ++j) ms += body[1 + j];
+        modsum_b[b] = ms;
+        valid_b[b] = can_b[b] + ms;
+        total_valid += valid_b[b];
+        total_nocall += c[2 + b];
+      }
+      if (total_valid == 0) continue;
+      int64_t n_del = c[0], n_filt = c[1];
+
+      auto emit = [&](int64_t valid, const char* name, size_t name_len,
+                      int64_t n_mod, int64_t n_can, int64_t n_other,
+                      int64_t n_nocall) {
+        int64_t n_diff =
+            (total_valid - valid) + (total_nocall - n_nocall);
+        float frac = ((float)n_mod / (float)valid) * 100.0f;
+        buf.append(chrom, chrom_len);
+        buf.push_back('\t');
+        put_i64(tile_start + pi);
+        buf.push_back('\t');
+        put_i64(tile_start + pi + 1);
+        buf.push_back('\t');
+        buf.append(name, name_len);
+        buf.push_back('\t');
+        put_i64(valid);
+        buf.push_back('\t');
+        buf.push_back(s == 0 ? '+' : '-');
+        buf.push_back('\t');
+        put_i64(tile_start + pi);
+        buf.push_back('\t');
+        put_i64(tile_start + pi + 1);
+        buf.push_back('\t');
+        buf.append("255,0,0\t", 8);
+        put_i64(valid);
+        buf.push_back(space_ch);
+        int pl = snprintf(tmp, sizeof(tmp), "%.2f", (double)frac);
+        buf.append(tmp, pl);
+        buf.push_back(space_ch);
+        put_i64(n_mod);
+        buf.push_back(space_ch);
+        put_i64(n_can);
+        buf.push_back(space_ch);
+        put_i64(n_other);
+        buf.push_back(space_ch);
+        put_i64(n_del);
+        buf.push_back(space_ch);
+        put_i64(n_filt);
+        buf.push_back(space_ch);
+        put_i64(n_diff);
+        buf.push_back(space_ch);
+        put_i64(n_nocall);
+        buf.push_back('\n');
+        ++rows;
+      };
+
+      if (combine_mods) {
+        for (int b = 0; b < 4; ++b) {
+          if (valid_b[b] == 0) continue;
+          emit(valid_b[b], &ANY_MOD[b], 1, valid_b[b] - can_b[b], can_b[b],
+               0, c[2 + b]);
+        }
+      } else {
+        const uint8_t* obs = observed + ((pi * 2 + s) * 4) * (size_t)m;
+        for (int32_t r = 0; r < m; ++r) {
+          int32_t j = code_order[r];
+          for (int b = 0; b < 4; ++b) {
+            if (valid_b[b] == 0 || !obs[b * m + j]) continue;
+            const int32_t* body = c + 6 + b * (m_pad + 1);
+            int64_t n_mod = body[1 + j];
+            emit(valid_b[b], labels[j], std::strlen(labels[j]), n_mod,
+                 can_b[b], modsum_b[b] - n_mod, c[2 + b]);
+          }
+        }
+      }
+    }
+  }
+  char* mem = (char*)std::malloc(buf.size());
+  if (mem == nullptr && !buf.empty()) return 1;
+  std::memcpy(mem, buf.data(), buf.size());
+  *out_buf = mem;
+  *out_len = (int64_t)buf.size();
+  *out_rows = rows;
+  return 0;
+}
+
+void mk_free_buf(char* buf) { std::free(buf); }
 
 }  // extern "C"
