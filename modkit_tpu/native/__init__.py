@@ -121,6 +121,22 @@ def load():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.mk_export_quals.restype = ctypes.c_int32
+            lib.mk_export_quals.argtypes = [
+                ctypes.POINTER(_MkTileOut),
+                ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.mk_bincount_states.restype = None
+            lib.mk_bincount_states.argtypes = [
+                ctypes.POINTER(_MkTileOut),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             lib.mk_format_rows.restype = ctypes.c_int32
             lib.mk_format_rows.argtypes = [
                 ctypes.POINTER(ctypes.c_int32),   # counts
@@ -284,6 +300,38 @@ class NativeTile:
             probs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return rpos, strand, base, probs
+
+    def export_quals(self, n_pad: int, m_pad: int):
+        """Compact u8 export for the threshold-state kernel, or None when
+        some probability is not an exact ML-derived value (collapse /
+        merged sub-tags) or m > 8."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        quals = np.empty((n_pad, m_pad), dtype=np.uint8)
+        present = np.empty(n_pad, dtype=np.uint8)
+        zero = np.empty(n_pad, dtype=np.uint8)
+        base = np.empty(n_pad, dtype=np.uint8)
+        ok = self._lib.mk_export_quals(
+            ctypes.byref(self._out), n_pad, m_pad,
+            quals.ctypes.data_as(u8p), present.ctypes.data_as(u8p),
+            zero.ctypes.data_as(u8p), base.ctypes.data_as(u8p),
+        )
+        if not ok:
+            return None
+        return quals, present, zero, base
+
+    def bincount_states(self, states: np.ndarray, m_pad: int) -> np.ndarray:
+        """Histogram device-computed per-event states into the mod-call
+        count tensor [p, 2, 1 + 4*(m_pad+1)]."""
+        km = 1 + 4 * (m_pad + 1)
+        counts = np.zeros((self._p, 2, km), dtype=np.int32)
+        states = np.ascontiguousarray(states, dtype=np.uint8)
+        self._lib.mk_bincount_states(
+            ctypes.byref(self._out),
+            states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            m_pad,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return counts
 
     # ---- lazy copies of the dense per-tile outputs ----
     @property

@@ -217,6 +217,47 @@ def modcall_counts_numpy(
     return counts.reshape(p, 2, km)
 
 
+@jax.jit
+def threshold_state_from_quals(
+    quals,  # u8 [N, M] ML qualities
+    present_bits,  # u8 [N] bitmask: class j present at event i
+    zero_bits,  # u8 [N] bitmask: prob is exactly 0.0 (inferred canonical)
+    base_idx,  # u8 [N]
+    thr_mod,  # f32 [M, 4]
+    thr_can,  # f32 [4]
+):
+    """Per-event threshold-call state from compact u8 inputs.
+
+    Reconstructs probs = (q + 0.5)/256 (exact in f32, mod_bam.rs:808) or
+    0.0 per the bitmasks, then applies MultipleThresholdModCaller::call.
+    Returns u8 state: 0 filtered, 1 canonical, 2+j mod code j. The
+    histogram over states runs host-side (native mk_bincount_states) so
+    only one byte per event returns over the device link.
+    """
+    m = quals.shape[1]
+    j = jnp.arange(m, dtype=jnp.uint8)
+    present = ((present_bits[:, None] >> j) & 1).astype(bool)
+    zero = ((zero_bits[:, None] >> j) & 1).astype(bool)
+    p = (quals.astype(jnp.float32) + jnp.float32(0.5)) / jnp.float32(256.0)
+    probs = jnp.where(
+        present, jnp.where(zero, jnp.float32(0.0), p), jnp.float32(-1.0)
+    )
+    state, _ = threshold_states(
+        probs, base_idx.astype(jnp.int32), thr_mod, thr_can
+    )
+    return state.astype(jnp.uint8)
+
+
+@jax.jit
+def threshold_state_f32(probs, base_idx, thr_mod, thr_can):
+    """Per-event threshold-call state from f32 probs (collapse/merged
+    fallback of threshold_state_from_quals)."""
+    state, _ = threshold_states(
+        probs, base_idx.astype(jnp.int32), thr_mod, thr_can
+    )
+    return state.astype(jnp.uint8)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_positions", "num_codes")
 )

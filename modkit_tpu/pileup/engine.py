@@ -113,6 +113,8 @@ class TilePending:
     p: int
     focus: object
     native: object = None  # NativeTile keeping the decoded tile alive
+    states: object = None  # in-flight u8 per-event states (native path)
+    m_pad: int = 0
 
 
 class TileProcessor:
@@ -330,55 +332,72 @@ class TileProcessor:
     def _dispatch_native_tile(
         self, res, start, p, focus
     ) -> "TilePending":
-        """Dispatch the device kernel over a NativeTile's events (exported
-        pre-padded by the C++ side, so no numpy pad/copy passes)."""
+        """Dispatch the device threshold-state kernel over a NativeTile's
+        events. Only one u8 per event returns over the device link; the
+        count histogram runs natively at finish time (mk_bincount_states).
+        Event export is pre-padded by the C++ side (no numpy pad passes);
+        the compact qual encoding is used when probabilities are exact
+        ML values, f32 otherwise."""
         from ..ops.pileup_counts import (
-            modcall_count_kernel, round_up_codes, round_up_events,
-            round_up_positions,
+            round_up_codes, round_up_events, threshold_state_f32,
+            threshold_state_from_quals,
         )
 
         vocab = res.vocab
         m = max(len(vocab), 1)
         n = res.n_events
+        modc = None
+        states = None
+        m_pad = round_up_codes(m)
         if n:
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
+            thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
+            thr_mod_p = thr_mod_p.astype(np.float32)
+            thr_can = thr_can.astype(np.float32)
             if self.opts.use_device:
                 import jax.numpy as jnp
 
-                m_pad = round_up_codes(m)
                 nb = round_up_events(n)
-                p_pad = round_up_positions(p)
-                rpos, strand, base_idx, probs = res.export_events(nb, m_pad)
-                thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
-                valid = np.zeros(nb, dtype=bool)
-                valid[:n] = True
-                modc = modcall_count_kernel(
-                    jnp.asarray(rpos), jnp.asarray(strand),
-                    jnp.asarray(base_idx), jnp.asarray(probs),
-                    jnp.asarray(valid),
-                    jnp.asarray(thr_mod_p.astype(np.float32)),
-                    jnp.asarray(thr_can.astype(np.float32)),
-                    num_positions=p_pad, num_codes=m_pad,
-                )
-                modc.copy_to_host_async()
+                q = res.export_quals(nb, m_pad)
+                if q is not None:
+                    quals, present, zero, base_idx = q
+                    states = threshold_state_from_quals(
+                        jnp.asarray(quals), jnp.asarray(present),
+                        jnp.asarray(zero), jnp.asarray(base_idx),
+                        jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                    )
+                else:
+                    _, _, base_idx, probs = res.export_events(nb, m_pad)
+                    states = threshold_state_f32(
+                        jnp.asarray(probs),
+                        jnp.asarray(base_idx.astype(np.uint8)),
+                        jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                    )
+                states.copy_to_host_async()
             else:
                 rpos, strand, base_idx, probs = res.export_events()
                 modc = modcall_counts_numpy(
                     rpos.astype(np.int64), strand.astype(np.int64),
-                    base_idx.astype(np.int64), probs, thr_mod, thr_can, p, m
+                    base_idx.astype(np.int64), probs, thr_mod, thr_can,
+                    p, m,
                 )
         else:
-            modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
+            modc = np.zeros((p, 2, 1 + 4 * (m_pad + 1)), dtype=np.int32)
         return TilePending(
             modc, res.nc_counts, res.del_counts, None, vocab, start, p,
-            focus, native=res,
+            focus, native=res, states=states, m_pad=m_pad,
         )
 
     def assemble_counts(self, pending: "TilePending") -> np.ndarray:
         """Merge in-flight device mod-call counts with the host coverage
         histograms into the full count tensor [p, 2, 6 + 4*(m_pad+1)]."""
         p = pending.p
-        modc = np.asarray(pending.modc)[:p]
+        if pending.states is not None:
+            # device returned per-event states; histogram them natively
+            states = np.asarray(pending.states)
+            modc = pending.native.bincount_states(states, pending.m_pad)
+        else:
+            modc = np.asarray(pending.modc)[:p]
         m_pad = (modc.shape[2] - 1) // 4 - 1
         k = 6 + 4 * (m_pad + 1)
         counts = np.zeros((p, 2, k), dtype=np.int32)

@@ -1238,6 +1238,71 @@ void mk_export_events(const MkTileOut* out, int64_t n_pad, int32_t m_pad,
   }
 }
 
+// Export events as exact u8 qualities + presence/zero bitmasks when every
+// probability is either 0.0 (implicit-canonical inference) or an ML-derived
+// (q + 0.5)/256 value. Returns 1 on success, 0 when any probability is not
+// exactly representable (post-collapse or merged sub-tag values) — the
+// caller then falls back to the f32 export. Shrinks the host->device
+// transfer 4x; the device kernel reconstructs bit-identical f32 probs.
+int32_t mk_export_quals(const MkTileOut* out, int64_t n_pad, int32_t m_pad,
+                        uint8_t* quals, uint8_t* present_bits,
+                        uint8_t* zero_bits, uint8_t* base) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int64_t n = out->n_events;
+  int32_t m = out->m;
+  if (m > 8) return 0;  // bitmask width
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = bufs->ev_probs.data() + i * m;
+    uint8_t pres = 0, zero = 0;
+    for (int32_t j = 0; j < m; ++j) {
+      float p = row[j];
+      if (p < 0.0f) {
+        quals[i * m_pad + j] = 0;
+        continue;
+      }
+      pres |= (uint8_t)(1u << j);
+      if (p == 0.0f) {
+        zero |= (uint8_t)(1u << j);
+        quals[i * m_pad + j] = 0;
+        continue;
+      }
+      float scaled = p * 256.0f;
+      int32_t q = (int32_t)scaled;  // floor for positive values
+      if (q < 0 || q > 255 || (float)q + 0.5f != scaled) return 0;
+      quals[i * m_pad + j] = (uint8_t)q;
+    }
+    for (int32_t j = m; j < m_pad; ++j) quals[i * m_pad + j] = 0;
+    present_bits[i] = pres;
+    zero_bits[i] = zero;
+    base[i] = (uint8_t)bufs->ev_base[i];
+  }
+  std::memset(quals + n * m_pad, 0, (n_pad - n) * m_pad);
+  std::memset(present_bits + n, 0, n_pad - n);
+  std::memset(zero_bits + n, 0, n_pad - n);
+  std::memset(base + n, 0, n_pad - n);
+  return 1;
+}
+
+// Histogram the device-computed per-event call states into the mod-call
+// count tensor [p, 2, 1 + 4*(m_pad+1)] (layout of modcall_count_kernel,
+// ops/pileup_counts.py): 0 = filtered, 1 + b*(m_pad+1) = canonical(b),
+// +1+j = mod code j. The device does the threshold math (elementwise, one
+// byte per event back over the link); this does the memory-bound scatter.
+void mk_bincount_states(const MkTileOut* out, const uint8_t* states,
+                        int32_t m_pad, int32_t* counts) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int64_t n = out->n_events;
+  int32_t km = 1 + 4 * (m_pad + 1);
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t st = states[i];
+    int32_t counter =
+        (st == 0) ? 0 : 1 + (int32_t)bufs->ev_base[i] * (m_pad + 1) + (st - 1);
+    int64_t flat =
+        ((int64_t)bufs->ev_rpos[i] * 2 + bufs->ev_strand[i]) * km + counter;
+    counts[flat]++;
+  }
+}
+
 // ---------------------------------------------------------- row formatting
 // Fused FeatureVector::decode + BedMethylWriter row emission for the
 // no-focus pileup path (pileup/mod.rs:412 decode, writers.rs:94-156 row
