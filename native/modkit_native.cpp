@@ -345,7 +345,7 @@ std::vector<SubTag> parse_mm_tag(const char* raw) {
 struct Piece {
   int mode;
   std::vector<Code> codes;
-  std::vector<int64_t> pos;   // strictly increasing
+  std::vector<int32_t> pos;   // strictly increasing
   std::vector<float> probs;   // pos.size() x codes.size(), row-major
   bool inferred;
 };
@@ -355,7 +355,7 @@ struct Group {
   int mod_strand;
   int mode;
   std::vector<Code> codes;
-  std::vector<int64_t> pos;       // sorted ascending
+  std::vector<int32_t> pos;       // sorted ascending
   std::vector<float> probs;       // n x m, -1 = absent
   std::vector<uint8_t> inferred;  // per position
   bool empty() const { return pos.empty(); }
@@ -387,7 +387,7 @@ Group merge_pieces(char base, int strand, std::vector<Piece>& plist) {
     return g;
   }
 
-  std::vector<int64_t> all;
+  std::vector<int32_t> all;
   for (auto& p : plist) all.insert(all.end(), p.pos.begin(), p.pos.end());
   std::sort(all.begin(), all.end());
   all.erase(std::unique(all.begin(), all.end()), all.end());
@@ -446,7 +446,7 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
   std::vector<SubTag> subtags = parse_mm_tag(raw_mm);
 
   // base occurrence cache per fundamental base char ('U' matches 'T')
-  std::vector<int64_t> occ_cache[6];
+  std::vector<int32_t> occ_cache[6];
   bool occ_done[6] = {false, false, false, false, false, false};
   auto fb_slot = [](char fb) -> int {
     switch (fb) {
@@ -454,13 +454,13 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
       case 'T': return 3; case 'U': return 4; default: return 5;  // N
     }
   };
-  auto base_positions = [&](char fb) -> const std::vector<int64_t>& {
+  auto base_positions = [&](char fb) -> const std::vector<int32_t>& {
     int s = fb_slot(fb);
     if (!occ_done[s]) {
       char want = (fb == 'U') ? 'T' : fb;
       auto& v = occ_cache[s];
       for (size_t i = 0; i < fwd.size(); ++i)
-        if ((char)fwd[i] == want) v.push_back((int64_t)i);
+        if ((char)fwd[i] == want) v.push_back((int32_t)i);
       occ_done[s] = true;
     }
     return occ_cache[s];
@@ -481,7 +481,7 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
   for (auto& st : subtags) {
     char fb = st.fundamental;
     // deltas -> forward-seq positions (mod_bam.rs:694 to_positions)
-    std::vector<int64_t> positions;
+    std::vector<int32_t> positions;
     if (!st.deltas.empty()) {
       if (fb == 'N') {
         int64_t cum = 0;
@@ -490,7 +490,7 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
           cum += st.deltas[i];
           int64_t pos = cum + (int64_t)i;
           if (pos >= (int64_t)fwd.size()) throw MkError{E_INVALID_MM};
-          positions.push_back(pos);
+          positions.push_back((int32_t)pos);
         }
       } else {
         const auto& bp = base_positions(fb);
@@ -550,10 +550,10 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
       // implicit-canonical inference (mod_bam.rs:1265-1292)
       if (mode_is_implicit(st.mode)) {
         const auto& bp = base_positions(fb);
-        std::vector<int64_t> inf;
+        std::vector<int32_t> inf;
         inf.reserve(bp.size());
         size_t k = 0;
-        for (int64_t ap : bp) {
+        for (int32_t ap : bp) {
           while (k < positions.size() && positions[k] < ap) ++k;
           if (k < positions.size() && positions[k] == ap) continue;
           inf.push_back(ap);
@@ -687,18 +687,18 @@ struct ReadEvents {
   int err = E_OK;
   int aln_strand = 0;
   // sparse mod-call candidates
-  std::vector<int64_t> mod_rpos;
+  std::vector<int32_t> mod_rpos;
   std::vector<int8_t> mod_out, mod_base;
   std::vector<float> mod_probs;  // n x codes.size()
   std::vector<Code> codes;
   // dense features on the alignment strand
-  std::vector<int64_t> nc_rpos;
+  std::vector<int32_t> nc_rpos;
   std::vector<int8_t> nc_base;
-  std::vector<int64_t> del_rpos;
+  std::vector<int32_t> del_rpos;
   // registered (out_strand_key, threshold_base) -> code, flattened triples
   std::vector<std::array<int64_t, 3>> registered;
   // merged M/D cover intervals
-  std::vector<std::pair<int64_t, int64_t>> cover;
+  std::vector<std::pair<int32_t, int32_t>> cover;
 };
 
 struct DecodeOpts {
@@ -710,8 +710,8 @@ struct DecodeOpts {
 };
 
 // aligned match columns with qf ascending (util.rs:122 + stable sort)
-void aligned_pairs_sorted(const Rec& r, std::vector<int64_t>& qf,
-                          std::vector<int64_t>& rp) {
+void aligned_pairs_sorted(const Rec& r, std::vector<int32_t>& qf,
+                          std::vector<int32_t>& rp) {
   struct Run { int64_t q, rr, len; };
   std::vector<Run> runs;
   const uint8_t* cg = r.cigar();
@@ -747,7 +747,7 @@ void aligned_pairs_sorted(const Rec& r, std::vector<int64_t>& qf,
   }
 }
 
-void deletion_positions(const Rec& r, std::vector<int64_t>& out) {
+void deletion_positions(const Rec& r, std::vector<int32_t>& out) {
   const uint8_t* cg = r.cigar();
   int64_t rr = r.pos;
   for (int i = 0; i < r.n_cigar; ++i) {
@@ -763,7 +763,7 @@ void deletion_positions(const Rec& r, std::vector<int64_t>& out) {
 
 // merged reference intervals of M/D/=/X ops, split at N (events.py:94)
 void covered_intervals(const Rec& r,
-                       std::vector<std::pair<int64_t, int64_t>>& out) {
+                       std::vector<std::pair<int32_t, int32_t>>& out) {
   const uint8_t* cg = r.cigar();
   int64_t rr = r.pos;
   for (int i = 0; i < r.n_cigar; ++i) {
@@ -803,7 +803,7 @@ void forward_seq(const Rec& r, std::vector<uint8_t>& fwd) {
 // events.py:114 skipped_read_events — failed reads still sit in the pileup
 void fill_skipped(const Rec& r, const std::vector<uint8_t>& fwd,
                   ReadEvents& ev) {
-  std::vector<int64_t> qf, rp;
+  std::vector<int32_t> qf, rp;
   aligned_pairs_sorted(r, qf, rp);
   for (size_t i = 0; i < qf.size(); ++i) {
     int8_t b = T.base_lut[fwd[qf[i]]];
@@ -847,7 +847,7 @@ ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
       if (g.mode == MODE_DEFAULT && !opts.force_allow)
         throw MkError{E_INVALID_IMPLICIT};
 
-    std::vector<int64_t> qf, rp;
+    std::vector<int32_t> qf, rp;
     aligned_pairs_sorted(r, qf, rp);
     size_t ncol = qf.size();
     std::vector<uint8_t> hit_any(ncol, 0);
@@ -858,7 +858,7 @@ ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
     // event rows stored at final read-vocab width later; remember per-event
     // (group probs row base, group column map) via a staging buffer
     struct Staged {
-      std::vector<int64_t> rpos;
+      std::vector<int32_t> rpos;
       int8_t out_strand, base;
       std::vector<float> probs;  // n x gm
       std::vector<size_t> cols;  // gm -> read code col
@@ -869,14 +869,14 @@ ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
     for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
       for (auto& g : info.groups) {
         if (g.mod_strand != strand_pass) continue;
-        std::vector<int64_t> positions = g.pos;
+        std::vector<int32_t> positions = g.pos;
         std::vector<float> probs = g.probs;
         std::vector<Code> gcodes = g.codes;
         size_t gm = gcodes.size();
         if (opts.has_edge) {
           if ((int64_t)r.l_seq <= opts.edge_start + opts.edge_end) continue;
           int64_t lo = opts.edge_start, hi = (int64_t)r.l_seq - opts.edge_end;
-          std::vector<int64_t> np_;
+          std::vector<int32_t> np_;
           std::vector<float> npr;
           for (size_t i = 0; i < positions.size(); ++i) {
             bool inside = positions[i] >= lo && positions[i] < hi;
