@@ -130,6 +130,8 @@ def load():
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.mk_export_quals_t.restype = ctypes.c_int32
+            lib.mk_export_quals_t.argtypes = lib.mk_export_quals.argtypes
             lib.mk_bincount_states.restype = None
             lib.mk_bincount_states.argtypes = [
                 ctypes.POINTER(_MkTileOut),
@@ -278,8 +280,12 @@ class NativeTile:
 
     def __del__(self):
         out = getattr(self, "_out", None)
-        if out is not None and out.handle:
-            self._lib.mk_free_tile(ctypes.byref(out))
+        # ctypes may already be torn down at interpreter shutdown
+        if out is not None and out.handle and ctypes is not None:
+            try:
+                self._lib.mk_free_tile(ctypes.byref(out))
+            except Exception:
+                pass
 
     def export_events(self, n_pad: int | None = None, m_pad: int | None = None):
         """(rpos_i32, strand_i32, base_i32, probs_f32[n_pad, m_pad]) padded
@@ -318,6 +324,23 @@ class NativeTile:
         if not ok:
             return None
         return quals, present, zero, base
+
+    def export_quals_t(self, n_pad: int, m_pad: int):
+        """Class-major (transposed) compact export for the Pallas state
+        kernel; None when probs are not exact ML values or m > 8."""
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        quals_t = np.empty((m_pad, n_pad), dtype=np.uint8)
+        present = np.empty(n_pad, dtype=np.uint8)
+        zero = np.empty(n_pad, dtype=np.uint8)
+        base = np.empty(n_pad, dtype=np.uint8)
+        ok = self._lib.mk_export_quals_t(
+            ctypes.byref(self._out), n_pad, m_pad,
+            quals_t.ctypes.data_as(u8p), present.ctypes.data_as(u8p),
+            zero.ctypes.data_as(u8p), base.ctypes.data_as(u8p),
+        )
+        if not ok:
+            return None
+        return quals_t, present, zero, base
 
     def bincount_states(self, states: np.ndarray, m_pad: int) -> np.ndarray:
         """Histogram device-computed per-event states into the mod-call

@@ -22,6 +22,34 @@ from ..ops.pileup_counts import (
 )
 from .events import EdgeFilter, read_to_events, skipped_read_events
 
+_PALLAS_OK: bool | None = None
+
+
+def _pallas_ok() -> bool:
+    """Probe once whether the Pallas threshold-state kernel compiles on
+    this backend (real TPU: yes; CPU tests: interpret-only, use XLA)."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        import os
+
+        if os.environ.get("MODKIT_TPU_DISABLE_PALLAS") == "1":
+            _PALLAS_OK = False
+            return False
+        try:
+            from ..ops.pallas_state import LANES, threshold_state_pallas
+
+            n = 32 * LANES
+            z = np.zeros(n, dtype=np.uint8)
+            threshold_state_pallas(
+                np.zeros((1, n), dtype=np.uint8), z, z, z,
+                np.zeros((1, 4), dtype=np.float32),
+                np.zeros(4, dtype=np.float32),
+            )
+            _PALLAS_OK = True
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
 
 @dataclass(slots=True)
 class PileupRow:
@@ -358,15 +386,26 @@ class TileProcessor:
                 import jax.numpy as jnp
 
                 nb = round_up_events(n)
-                q = res.export_quals(nb, m_pad)
-                if q is not None:
+                q = None
+                if _pallas_ok():
+                    q = res.export_quals_t(nb, m_pad)
+                    if q is not None:
+                        from ..ops.pallas_state import threshold_state_pallas
+
+                        quals_t, present, zero, base_idx = q
+                        states = threshold_state_pallas(
+                            jnp.asarray(quals_t), jnp.asarray(present),
+                            jnp.asarray(zero), jnp.asarray(base_idx),
+                            jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                        )
+                elif (q := res.export_quals(nb, m_pad)) is not None:
                     quals, present, zero, base_idx = q
                     states = threshold_state_from_quals(
                         jnp.asarray(quals), jnp.asarray(present),
                         jnp.asarray(zero), jnp.asarray(base_idx),
                         jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
                     )
-                else:
+                if q is None:
                     _, _, base_idx, probs = res.export_events(nb, m_pad)
                     states = threshold_state_f32(
                         jnp.asarray(probs),

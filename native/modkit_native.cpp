@@ -1283,6 +1283,49 @@ int32_t mk_export_quals(const MkTileOut* out, int64_t n_pad, int32_t m_pad,
   return 1;
 }
 
+// Transposed (class-major) variant of mk_export_quals for the Pallas
+// threshold-state kernel: quals_t is [m_pad, n_pad] so each mod class is a
+// contiguous lane-tileable plane.
+int32_t mk_export_quals_t(const MkTileOut* out, int64_t n_pad, int32_t m_pad,
+                          uint8_t* quals_t, uint8_t* present_bits,
+                          uint8_t* zero_bits, uint8_t* base) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int64_t n = out->n_events;
+  int32_t m = out->m;
+  if (m > 8) return 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = bufs->ev_probs.data() + i * m;
+    uint8_t pres = 0, zero = 0;
+    for (int32_t j = 0; j < m; ++j) {
+      float p = row[j];
+      if (p < 0.0f) {
+        quals_t[j * n_pad + i] = 0;
+        continue;
+      }
+      pres |= (uint8_t)(1u << j);
+      if (p == 0.0f) {
+        zero |= (uint8_t)(1u << j);
+        quals_t[j * n_pad + i] = 0;
+        continue;
+      }
+      float scaled = p * 256.0f;
+      int32_t q = (int32_t)scaled;
+      if (q < 0 || q > 255 || (float)q + 0.5f != scaled) return 0;
+      quals_t[j * n_pad + i] = (uint8_t)q;
+    }
+    present_bits[i] = pres;
+    zero_bits[i] = zero;
+    base[i] = (uint8_t)bufs->ev_base[i];
+  }
+  for (int32_t j = 0; j < m_pad; ++j)
+    std::memset(quals_t + j * n_pad + (j < m ? n : 0), 0,
+                j < m ? (n_pad - n) : n_pad);
+  std::memset(present_bits + n, 0, n_pad - n);
+  std::memset(zero_bits + n, 0, n_pad - n);
+  std::memset(base + n, 0, n_pad - n);
+  return 1;
+}
+
 // Histogram the device-computed per-event call states into the mod-call
 // count tensor [p, 2, 1 + 4*(m_pad+1)] (layout of modcall_count_kernel,
 // ops/pileup_counts.py): 0 = filtered, 1 + b*(m_pad+1) = canonical(b),
