@@ -63,6 +63,22 @@ class _MkTileOut(ctypes.Structure):
     ]
 
 
+class _MkGroupsOut(ctypes.Structure):
+    _fields_ = [
+        ("rc", ctypes.c_int32),
+        ("err_kind", ctypes.c_int32),
+        ("n_groups", ctypes.c_int32),
+        ("tb", ctypes.POINTER(ctypes.c_int8)),
+        ("n_pos", ctypes.POINTER(ctypes.c_int64)),
+        ("n_codes", ctypes.POINTER(ctypes.c_int32)),
+        ("codes", ctypes.POINTER(ctypes.c_int64)),
+        ("probs", ctypes.POINTER(ctypes.c_float)),
+        ("total_codes", ctypes.c_int64),
+        ("total_probs", ctypes.c_int64),
+        ("handle", ctypes.c_void_p),
+    ]
+
+
 def _build() -> None:
     subprocess.run(
         [
@@ -158,6 +174,19 @@ def load():
             ]
             lib.mk_free_buf.restype = None
             lib.mk_free_buf.argtypes = [ctypes.c_void_p]
+            lib.mk_read_groups.restype = ctypes.c_int32
+            lib.mk_read_groups.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # rec bytes
+                ctypes.c_int32,                    # only_mapped
+                ctypes.c_int32,                    # has_edge
+                ctypes.c_int64, ctypes.c_int64,    # edge trims
+                ctypes.c_int32,                    # edge inverted
+                ctypes.POINTER(ctypes.c_int64),    # collapse blob
+                ctypes.c_int32,
+                ctypes.POINTER(_MkGroupsOut),
+            ]
+            lib.mk_free_groups.restype = None
+            lib.mk_free_groups.argtypes = [ctypes.POINTER(_MkGroupsOut)]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -410,6 +439,72 @@ class NativeTile:
             )
             return vals[key]
         return getattr(self, key)
+
+
+def read_groups(
+    rec_raw: bytes,
+    only_mapped: bool,
+    collapse=None,
+    edge_filter=None,
+):
+    """Per-read probability groups {threshold_base_idx: [(codes, probs)]},
+    the native equivalent of thresholds.read_groups. Returns the dict,
+    raising ModKitError on undecodable tags; None when native is off."""
+    lib = load()
+    if lib is None:
+        return None
+    blob = encode_collapse(collapse)
+    out = _MkGroupsOut()
+    has_edge = edge_filter is not None
+    rc = lib.mk_read_groups(
+        rec_raw, len(rec_raw),
+        1 if only_mapped else 0,
+        1 if has_edge else 0,
+        edge_filter.start_trim if has_edge else 0,
+        edge_filter.end_trim if has_edge else 0,
+        1 if (has_edge and edge_filter.inverted) else 0,
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(blob),
+        ctypes.byref(out),
+    )
+    try:
+        if rc != 0:
+            from ..errors import ModKitError
+
+            raise ModKitError(ERR_KINDS[out.err_kind], "native decode")
+        g = out.n_groups
+        result: dict[int, list] = {}
+        if g == 0:
+            return result
+        tb = np.ctypeslib.as_array(out.tb, shape=(g,))
+        n_pos = np.ctypeslib.as_array(out.n_pos, shape=(g,))
+        n_codes = np.ctypeslib.as_array(out.n_codes, shape=(g,))
+        codes_flat = (
+            np.ctypeslib.as_array(out.codes, shape=(out.total_codes,))
+            if out.total_codes
+            else np.empty(0, dtype=np.int64)
+        )
+        probs_flat = (
+            np.ctypeslib.as_array(out.probs, shape=(out.total_probs,))
+            if out.total_probs
+            else np.empty(0, dtype=np.float32)
+        )
+        cp = pp = 0
+        for i in range(g):
+            m = int(n_codes[i])
+            n = int(n_pos[i])
+            codes = [decode_code(v) for v in codes_flat[cp : cp + m]]
+            cp += m
+            probs = (
+                probs_flat[pp : pp + n * m]
+                .astype(np.float32, copy=True)
+                .reshape(n, m)
+            )
+            pp += n * m
+            result.setdefault(int(tb[i]), []).append((codes, probs))
+        return result
+    finally:
+        lib.mk_free_groups(ctypes.byref(out))
 
 
 def format_rows(

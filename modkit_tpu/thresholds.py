@@ -181,13 +181,25 @@ def sample_reads(
             return False
         return True
 
+    use_native = position_filter is None
+    if use_native:
+        from . import native as _native
+
+        use_native = _native.available()
+
     def add(rec) -> bool:
         try:
-            per_base = read_groups(
-                rec, only_mapped and not rec.is_unmapped, collapse,
-                edge_filter,
-                position_filter if not rec.is_unmapped else None,
-            )
+            if use_native:
+                per_base = _native.read_groups(
+                    rec.raw(), only_mapped and not rec.is_unmapped,
+                    collapse, edge_filter,
+                )
+            else:
+                per_base = read_groups(
+                    rec, only_mapped and not rec.is_unmapped, collapse,
+                    edge_filter,
+                    position_filter if not rec.is_unmapped else None,
+                )
         except ModKitError:
             return False
         if not per_base:

@@ -1481,4 +1481,151 @@ int32_t mk_format_rows(const int32_t* counts, int64_t p, int32_t k,
 
 void mk_free_buf(char* buf) { std::free(buf); }
 
+// -------------------------------------------------------- per-read groups
+// Native equivalent of thresholds.read_groups (mirrors reference
+// read_ids_to_base_mod_probs.rs ReadIdsToBaseModProbs::process_records):
+// decode one record into per-(threshold base) probability groups with the
+// sampling path's transform order (edge filter -> aligned-column
+// intersection when only_mapped -> collapse). Serves threshold estimation,
+// summary, and sample-probs.
+struct GroupsBuffers {
+  std::vector<int8_t> tb;
+  std::vector<int64_t> n_pos;
+  std::vector<int32_t> n_codes;
+  std::vector<int64_t> codes;
+  std::vector<float> probs;
+};
+
+struct MkGroupsOut {
+  int32_t rc;        // 0 ok, 1 decode error (err_kind set)
+  int32_t err_kind;
+  int32_t n_groups;
+  const int8_t* tb;
+  const int64_t* n_pos;
+  const int32_t* n_codes;
+  const int64_t* codes;
+  const float* probs;
+  int64_t total_codes;
+  int64_t total_probs;
+  void* handle;
+};
+
+int32_t mk_read_groups(const uint8_t* rec_buf, int64_t rec_len,
+                       int32_t only_mapped, int32_t has_edge,
+                       int64_t edge_start, int64_t edge_end,
+                       int32_t edge_inverted, const int64_t* collapse_blob,
+                       int32_t collapse_len, MkGroupsOut* out) {
+  std::memset(out, 0, sizeof(MkGroupsOut));
+  Rec r;
+  r.p = rec_buf;
+  r.len = rec_len;
+  r.parse_head();
+  auto* bufs = new GroupsBuffers();
+  out->handle = bufs;
+
+  std::vector<CollapseOp> collapse;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    collapse.push_back(std::move(op));
+  }
+
+  std::vector<uint8_t> fwd;
+  forward_seq(r, fwd);
+  try {
+    AuxTags aux = scan_aux(r);
+    if (aux.bad) throw MkError{E_INVALID_MM};
+    const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+    if (!mm.present) throw MkError{E_MM_MISSING};
+    if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+    const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+    if (!ml.present) throw MkError{E_ML_MISSING};
+    if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+    if (aux.mn_present) {
+      if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+      if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+    } else if (r.is_not_primary()) {
+      throw MkError{E_NON_PRIMARY_MN};
+    }
+    ModInfo info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+
+    std::vector<int32_t> qf, rp;
+    if (only_mapped) aligned_pairs_sorted(r, qf, rp);
+
+    for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+      for (auto& g : info.groups) {
+        if (g.mod_strand != strand_pass) continue;
+        std::vector<int32_t> positions = g.pos;
+        std::vector<float> probs = g.probs;
+        std::vector<Code> gcodes = g.codes;
+        size_t gm = gcodes.size();
+        if (has_edge) {
+          if ((int64_t)r.l_seq <= edge_start + edge_end) continue;
+          int64_t lo = edge_start, hi = (int64_t)r.l_seq - edge_end;
+          std::vector<int32_t> np_;
+          std::vector<float> npr;
+          for (size_t i = 0; i < positions.size(); ++i) {
+            bool inside = positions[i] >= lo && positions[i] < hi;
+            bool keepi = edge_inverted ? !inside : inside;
+            if (keepi) {
+              np_.push_back(positions[i]);
+              for (size_t j = 0; j < gm; ++j) npr.push_back(probs[i * gm + j]);
+            }
+          }
+          if (np_.empty()) continue;
+          positions = std::move(np_);
+          probs = std::move(npr);
+        }
+        if (only_mapped) {
+          std::vector<int32_t> np_;
+          std::vector<float> npr;
+          size_t k = 0;
+          for (size_t i = 0; i < positions.size(); ++i) {
+            while (k < qf.size() && qf[k] < positions[i]) ++k;
+            if (k < qf.size() && qf[k] == positions[i]) {
+              np_.push_back(positions[i]);
+              for (size_t j = 0; j < gm; ++j) npr.push_back(probs[i * gm + j]);
+            }
+          }
+          if (np_.empty()) continue;
+          positions = std::move(np_);
+          probs = std::move(npr);
+        }
+        for (const auto& op : collapse)
+          apply_collapse(gcodes, probs, gm, positions.size(), op);
+
+        int b_idx = base_char_to_idx(g.base);
+        int tb = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
+        bufs->tb.push_back((int8_t)tb);
+        bufs->n_pos.push_back((int64_t)positions.size());
+        bufs->n_codes.push_back((int32_t)gm);
+        bufs->codes.insert(bufs->codes.end(), gcodes.begin(), gcodes.end());
+        bufs->probs.insert(bufs->probs.end(), probs.begin(), probs.end());
+        out->n_groups++;
+      }
+    }
+    out->tb = bufs->tb.data();
+    out->n_pos = bufs->n_pos.data();
+    out->n_codes = bufs->n_codes.data();
+    out->codes = bufs->codes.data();
+    out->probs = bufs->probs.data();
+    out->total_codes = (int64_t)bufs->codes.size();
+    out->total_probs = (int64_t)bufs->probs.size();
+    return 0;
+  } catch (const MkError& e) {
+    out->rc = 1;
+    out->err_kind = e.kind;
+    return 1;
+  }
+}
+
+void mk_free_groups(MkGroupsOut* out) {
+  delete static_cast<GroupsBuffers*>(out->handle);
+  out->handle = nullptr;
+}
+
 }  // extern "C"
