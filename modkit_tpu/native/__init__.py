@@ -115,6 +115,7 @@ def load():
                 ctypes.c_int32,                       # tid
                 ctypes.c_int64,                       # start
                 ctypes.c_int64,                       # end
+                ctypes.c_int64,                       # max_depth
                 ctypes.c_int32,                       # force_allow
                 ctypes.c_int32,                       # has_edge
                 ctypes.c_int64,                       # edge_start
@@ -228,6 +229,7 @@ def decode_tile(
     start: int,
     end: int,
     *,
+    max_depth: int = 0,
     force_allow: bool = False,
     edge_filter=None,
     collapse=None,
@@ -266,7 +268,7 @@ def decode_tile(
     rc = lib.mk_decode_tile(
         ctypes.cast(c_chunks, ctypes.POINTER(ctypes.c_char_p)),
         ctypes.cast(c_lens, ctypes.POINTER(ctypes.c_int64)),
-        n_chunks, tid, start, end,
+        n_chunks, tid, start, end, max_depth,
         1 if force_allow else 0,
         1 if has_edge else 0,
         edge_filter.start_trim if has_edge else 0,

@@ -223,6 +223,7 @@ class TileProcessor:
             res = native.decode_tile(
                 reader.fetch_chunks_raw(tid, start, end),
                 tid, start, end,
+                max_depth=self.opts.max_depth or 0,
                 force_allow=self.opts.force_allow,
                 edge_filter=self.opts.edge_filter,
                 collapse=self.opts.collapse,
@@ -258,19 +259,44 @@ class TileProcessor:
         m = max(len(vocab), 1)
         p = end - start
 
+        # --max-depth: cap reads contributing per column at max_depth,
+        # keeping the first reads in file (position) order per column
+        # (pileup/mod.rs:755-758 htslib set_max_depth semantics); no column
+        # can exceed the cap when the tile holds <= max_depth reads
+        depth_masks = None
+        if self.opts.max_depth and len(reads) > self.opts.max_depth:
+            depth_masks = []
+            cov = np.zeros(p, dtype=np.int32)
+            for ev in reads:
+                adm = np.zeros(p, dtype=bool)
+                if ev.cover is not None:
+                    for a, b_ in ev.cover:
+                        a2 = max(int(a) - start, 0)
+                        b2 = min(int(b_) - start, p)
+                        if a2 < b2:
+                            sl = cov[a2:b2] < self.opts.max_depth
+                            adm[a2:b2] = sl
+                            cov[a2:b2] += sl
+                depth_masks.append(adm)
+
         # assemble sparse mod-call event arrays clipped to the tile; dense
         # nocall/delete features are plain histograms counted host-side
         rpos_l, strand_l, base_l, probs_l = [], [], [], []
         nc_keys, del_keys = [], []
         focus_rule = focus.rule if focus is not None else None
-        for ev in reads:
+        for ri, ev in enumerate(reads):
             s = ev.aln_strand
+            adm = depth_masks[ri] if depth_masks is not None else None
             if len(ev.mod_rpos):
                 sel = (ev.mod_rpos >= start) & (ev.mod_rpos < end)
-                if focus_rule is not None and sel.any():
+                if sel.any() and (focus_rule is not None or adm is not None):
                     li = (ev.mod_rpos - start)[sel]
-                    r = focus_rule[li]
-                    keep = (r == 2) | (r == ev.mod_out[sel])
+                    keep = np.ones(len(li), dtype=bool)
+                    if focus_rule is not None:
+                        r = focus_rule[li]
+                        keep &= (r == 2) | (r == ev.mod_out[sel])
+                    if adm is not None:
+                        keep &= adm[li]
                     s2 = np.zeros(len(ev.mod_rpos), dtype=bool)
                     s2[np.flatnonzero(sel)[keep]] = True
                     sel = s2
@@ -291,6 +317,8 @@ class TileProcessor:
                 if focus_rule is not None:
                     r = focus_rule[np.clip(li, 0, p - 1)]
                     sel &= (r == 2) | (r == s)
+                if adm is not None:
+                    sel &= adm[np.clip(li, 0, p - 1)]
                 if sel.any():
                     nc_keys.append(
                         (li[sel] * 2 + s) * 4 + ev.nc_base[sel]
@@ -301,6 +329,8 @@ class TileProcessor:
                 if focus_rule is not None:
                     r = focus_rule[np.clip(li, 0, p - 1)]
                     sel &= (r == 2) | (r == s)
+                if adm is not None:
+                    sel &= adm[np.clip(li, 0, p - 1)]
                 if sel.any():
                     del_keys.append(li[sel] * 2 + s)
 
@@ -336,16 +366,23 @@ class TileProcessor:
         # observed codes per (pos, strand, base): painted over each read's
         # covered intervals (read_cache.rs:298 add_mod_codes_for_record)
         observed = np.zeros((p, 2, 4, m), dtype=bool)
-        for ev in reads:
+        for ri, ev in enumerate(reads):
             if not ev.registered or ev.cover is None or not len(ev.cover):
                 continue
+            adm = depth_masks[ri] if depth_masks is not None else None
             for (sk, tb), codes in ev.registered.items():
                 cols = [vindex[c] for c in codes]
                 if not cols:
                     continue
                 for a, b_ in ev.cover:
                     a2, b2 = max(a - start, 0), min(b_ - start, p)
-                    if a2 < b2:
+                    if a2 >= b2:
+                        continue
+                    if adm is not None:
+                        rows = np.flatnonzero(adm[a2:b2]) + a2
+                        for c in cols:
+                            observed[rows, sk, tb, c] = True
+                    else:
                         for c in cols:
                             observed[a2:b2, sk, tb, c] = True
 

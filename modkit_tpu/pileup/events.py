@@ -128,7 +128,7 @@ def skipped_read_events(rec) -> ReadEvents:
         _EMPTY_I64, _EMPTY_I8, _EMPTY_I8,
         np.empty((0, 0), dtype=np.float32), [],
         aln_rev, rp[nc], col_base[nc], rec.deletion_ref_positions(),
-        {}, np.empty((0, 2), dtype=np.int64),
+        {}, covered_intervals(rec),
     )
 
 

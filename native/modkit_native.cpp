@@ -813,6 +813,7 @@ void fill_skipped(const Rec& r, const std::vector<uint8_t>& fwd,
     }
   }
   deletion_positions(r, ev.del_rpos);
+  covered_intervals(r, ev.cover);
 }
 
 // read_to_events (events.py:135): full per-read decode + event expansion
@@ -1015,8 +1016,8 @@ struct MkTileOut {
 // event arrays. Returns 0 on success. Caller must mk_free_tile(out).
 int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
                        int32_t n_chunks, int32_t tid, int64_t start,
-                       int64_t end, int32_t force_allow, int32_t has_edge,
-                       int64_t edge_start, int64_t edge_end,
+                       int64_t end, int64_t max_depth, int32_t force_allow,
+                       int32_t has_edge, int64_t edge_start, int64_t edge_end,
                        int32_t edge_inverted, const int64_t* collapse_blob,
                        int32_t collapse_len, const int8_t* focus_rule,
                        int32_t n_threads, MkTileOut* out) {
@@ -1129,11 +1130,31 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
   bufs->observed.assign((size_t)p_len * 2 * 4 * m, 0);
   int64_t n_nc = 0, n_del = 0;
 
+  // --max-depth: per-column cap on contributing reads, first-in-file-order
+  // (htslib set_max_depth semantics, pileup/mod.rs:755-758); only computed
+  // when the tile's read count can exceed the cap
+  bool use_depth = max_depth > 0 && (int64_t)events.size() > max_depth;
+  std::vector<int32_t> depth_cov;
+  std::vector<uint8_t> adm;
+  if (use_depth) depth_cov.assign((size_t)p_len, 0);
+
   for (auto& ev : events) {
     int s = ev.aln_strand;
     size_t rm = ev.codes.size();
     std::vector<size_t> cols(rm);
     for (size_t j = 0; j < rm; ++j) cols[j] = vindex(ev.codes[j]);
+    if (use_depth) {
+      adm.assign((size_t)p_len, 0);
+      for (auto& iv : ev.cover) {
+        int64_t a2 = std::max((int64_t)iv.first - start, (int64_t)0);
+        int64_t b2 = std::min((int64_t)iv.second - start, p_len);
+        for (int64_t x = a2; x < b2; ++x)
+          if (depth_cov[x] < max_depth) {
+            adm[x] = 1;
+            depth_cov[x]++;
+          }
+      }
+    }
     // sparse mod-call events clipped to the tile + focus rule
     for (size_t i = 0; i < ev.mod_rpos.size(); ++i) {
       int64_t rp = ev.mod_rpos[i];
@@ -1143,6 +1164,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         int8_t rv = focus_rule[li];
         if (!(rv == 2 || rv == ev.mod_out[i])) continue;
       }
+      if (use_depth && !adm[li]) continue;
       bufs->ev_rpos.push_back((int32_t)li);
       bufs->ev_strand.push_back(ev.mod_out[i]);
       bufs->ev_base.push_back(ev.mod_base[i]);
@@ -1159,6 +1181,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         int8_t rv = focus_rule[li];
         if (!(rv == 2 || rv == s)) continue;
       }
+      if (use_depth && !adm[li]) continue;
       bufs->nc_counts[(li * 2 + s) * 4 + ev.nc_base[i]]++;
       ++n_nc;
     }
@@ -1170,6 +1193,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         int8_t rv = focus_rule[li];
         if (!(rv == 2 || rv == s)) continue;
       }
+      if (use_depth && !adm[li]) continue;
       bufs->del_counts[li * 2 + s]++;
       ++n_del;
     }
@@ -1181,8 +1205,10 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         for (auto& iv : ev.cover) {
           int64_t a2 = std::max(iv.first - start, (int64_t)0);
           int64_t b2 = std::min(iv.second - start, p_len);
-          for (int64_t x = a2; x < b2; ++x)
+          for (int64_t x = a2; x < b2; ++x) {
+            if (use_depth && !adm[x]) continue;
             bufs->observed[(((size_t)x * 2 + sk) * 4 + tb) * m + col] = 1;
+          }
         }
       }
     }
