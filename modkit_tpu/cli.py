@@ -612,6 +612,7 @@ def cmd_pileup(args) -> int:
         with_header=args.with_header,
         bedgraph=args.bedgraph,
         prefix=args.prefix,
+        partition_tags=args.partition_tag,
         reference_fasta=args.reference_fasta,
         motifs=motifs,
         cpg=args.cpg,

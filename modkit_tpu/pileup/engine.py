@@ -120,6 +120,9 @@ class PileupOptions:
     force_allow: bool = False
     combine_strands: bool = False
     max_depth: int = 8000
+    # SAM tags whose joined values partition the output (--partition-tag,
+    # pileup/mod.rs:607 PartitionKey + :795 parse_tags_from_record)
+    partition_tags: list | None = None
     # focus positions / motifs are handled by the caller (engine processes
     # every covered position when focus is None)
     use_device: bool = True
@@ -143,6 +146,10 @@ class TilePending:
     native: object = None  # NativeTile keeping the decoded tile alive
     states: object = None  # in-flight u8 per-event states (native path)
     m_pad: int = 0
+    # partition mode: tile-local key list (None entry = the NoKey group);
+    # the position axis is folded as pos + part_idx * base_p
+    parts: list | None = None
+    base_p: int = 0
 
 
 class TileProcessor:
@@ -217,7 +224,11 @@ class TileProcessor:
         (modkit_tpu.native), with this Python path as oracle/fallback.
         """
         focus_rule = focus.rule if focus is not None else None
-        if self._use_native() and hasattr(reader, "fetch_chunks_raw"):
+        if (
+            self._use_native()
+            and not self.opts.partition_tags
+            and hasattr(reader, "fetch_chunks_raw")
+        ):
             from .. import native
 
             res = native.decode_tile(
@@ -240,13 +251,25 @@ class TileProcessor:
                     res, start, end - start, focus
                 )
 
+        ptags = self.opts.partition_tags
         reads = []
+        pkeys: list[int] = []  # per-read partition slot
+        parts: list = []  # tile-local key list (None = NoKey/"ungrouped")
+        pindex: dict = {}
         for rec in reader.fetch(tid, start, end):
             if rec.is_not_primary or rec.l_seq == 0:
                 continue
             reads.append(self._events_for(rec, tid))
+            if ptags:
+                key = partition_key_for(rec, ptags)
+                pidx = pindex.get(key)
+                if pidx is None:
+                    pidx = pindex[key] = len(parts)
+                    parts.append(key)
+                pkeys.append(pidx)
         if not reads:
             return None
+        n_parts = max(len(parts), 1) if ptags else 1
 
         # tile-wide code vocabulary, insertion order across reads
         vocab: list = []
@@ -287,6 +310,7 @@ class TileProcessor:
         for ri, ev in enumerate(reads):
             s = ev.aln_strand
             adm = depth_masks[ri] if depth_masks is not None else None
+            off = pkeys[ri] * p if ptags else 0
             if len(ev.mod_rpos):
                 sel = (ev.mod_rpos >= start) & (ev.mod_rpos < end)
                 if sel.any() and (focus_rule is not None or adm is not None):
@@ -301,7 +325,7 @@ class TileProcessor:
                     s2[np.flatnonzero(sel)[keep]] = True
                     sel = s2
                 if sel.any():
-                    rpos_l.append(ev.mod_rpos[sel] - start)
+                    rpos_l.append(ev.mod_rpos[sel] - start + off)
                     strand_l.append(ev.mod_out[sel])
                     base_l.append(ev.mod_base[sel])
                     pr = np.full(
@@ -321,7 +345,7 @@ class TileProcessor:
                     sel &= adm[np.clip(li, 0, p - 1)]
                 if sel.any():
                     nc_keys.append(
-                        (li[sel] * 2 + s) * 4 + ev.nc_base[sel]
+                        ((li[sel] + off) * 2 + s) * 4 + ev.nc_base[sel]
                     )
             if len(ev.del_rpos):
                 li = ev.del_rpos - start
@@ -332,7 +356,11 @@ class TileProcessor:
                 if adm is not None:
                     sel &= adm[np.clip(li, 0, p - 1)]
                 if sel.any():
-                    del_keys.append(li[sel] * 2 + s)
+                    del_keys.append((li[sel] + off) * 2 + s)
+
+        # partition mode folds the key into the position axis so one kernel
+        # dispatch covers every partition: pos' = pos + part_idx * p
+        p_total = n_parts * p
 
         # dispatch the device kernel FIRST so coverage bincounts + observed
         # painting below overlap device compute / D2H transfer
@@ -344,32 +372,34 @@ class TileProcessor:
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
             if self.opts.use_device:
                 modc = dispatch_modcall_counts(
-                    rpos, strand, base_idx, probs, thr_mod, thr_can, p
+                    rpos, strand, base_idx, probs, thr_mod, thr_can, p_total
                 )
             else:
                 modc = modcall_counts_numpy(
-                    rpos, strand, base_idx, probs, thr_mod, thr_can, p, m
+                    rpos, strand, base_idx, probs, thr_mod, thr_can,
+                    p_total, m,
                 )
         else:
-            modc = np.zeros((p, 2, 1 + 4 * (m + 1)), dtype=np.int32)
+            modc = np.zeros((p_total, 2, 1 + 4 * (m + 1)), dtype=np.int32)
 
         nc_counts = del_counts = None
         if nc_keys:
             nc_counts = np.bincount(
-                np.concatenate(nc_keys), minlength=p * 2 * 4
-            ).astype(np.int32).reshape(p, 2, 4)
+                np.concatenate(nc_keys), minlength=p_total * 2 * 4
+            ).astype(np.int32).reshape(p_total, 2, 4)
         if del_keys:
             del_counts = np.bincount(
-                np.concatenate(del_keys), minlength=p * 2
-            ).astype(np.int32).reshape(p, 2)
+                np.concatenate(del_keys), minlength=p_total * 2
+            ).astype(np.int32).reshape(p_total, 2)
 
         # observed codes per (pos, strand, base): painted over each read's
         # covered intervals (read_cache.rs:298 add_mod_codes_for_record)
-        observed = np.zeros((p, 2, 4, m), dtype=bool)
+        observed = np.zeros((p_total, 2, 4, m), dtype=bool)
         for ri, ev in enumerate(reads):
             if not ev.registered or ev.cover is None or not len(ev.cover):
                 continue
             adm = depth_masks[ri] if depth_masks is not None else None
+            off = pkeys[ri] * p if ptags else 0
             for (sk, tb), codes in ev.registered.items():
                 cols = [vindex[c] for c in codes]
                 if not cols:
@@ -379,19 +409,20 @@ class TileProcessor:
                     if a2 >= b2:
                         continue
                     if adm is not None:
-                        rows = np.flatnonzero(adm[a2:b2]) + a2
+                        rows = np.flatnonzero(adm[a2:b2]) + (a2 + off)
                         for c in cols:
                             observed[rows, sk, tb, c] = True
                     else:
                         for c in cols:
-                            observed[a2:b2, sk, tb, c] = True
+                            observed[a2 + off : b2 + off, sk, tb, c] = True
 
         if hasattr(modc, "copy_to_host_async"):
             # enqueue the D2H copy now; it streams as soon as the kernel
             # finishes, so finish_tile's np.asarray finds it ready
             modc.copy_to_host_async()
         return TilePending(
-            modc, nc_counts, del_counts, observed, vocab, start, p, focus
+            modc, nc_counts, del_counts, observed, vocab, start, p_total,
+            focus, parts=(parts if ptags else None), base_p=p,
         )
 
     def _dispatch_native_tile(
@@ -504,6 +535,32 @@ class TileProcessor:
             return []
         counts = self.assemble_counts(pending)
 
+        if pending.parts is not None:
+            # partition mode: slice the folded position axis back into one
+            # count tensor per partition key and decode each independently
+            # (the per-key FeatureVector maps of pileup/mod.rs:821-828)
+            p0 = pending.base_p
+            obs = self._observed(pending)
+            out = []
+            for pidx, key in enumerate(pending.parts):
+                c = counts[pidx * p0 : (pidx + 1) * p0]
+                o = obs[pidx * p0 : (pidx + 1) * p0]
+                if pending.focus is None and not self.opts.combine_strands:
+                    res = decode_counts_columnar(
+                        c, o, pending.vocab, pending.start,
+                        combine_mods=self.opts.combine_mods,
+                    )
+                else:
+                    res = decode_counts(
+                        c, o, pending.vocab, pending.start,
+                        combine_mods=self.opts.combine_mods,
+                        focus=pending.focus,
+                    )
+                    if self.opts.combine_strands and pending.focus is not None:
+                        res = combine_strand_rows(res, pending.focus)
+                out.append((key, res))
+            return out
+
         if pending.focus is None and not self.opts.combine_strands:
             if (
                 pending.native is not None
@@ -538,6 +595,30 @@ class TileProcessor:
         if self.opts.combine_strands and pending.focus is not None:
             decoded = combine_strand_rows(decoded, pending.focus)
         return decoded
+
+
+def partition_key_for(rec, tags) -> str | None:
+    """Join the record's stringable values for ``tags`` with '_', using
+    'missing' for absent tags; None when no tag matches (NoKey)
+    (pileup/mod.rs:626 parse_tags_from_record + util.rs:670
+    get_stringable_aux: strings/chars/ints/floats stringify, arrays don't).
+    """
+    vals = []
+    got = False
+    for t in tags:
+        item = rec.get_aux(t)
+        if item is None or item[0].startswith("B"):
+            vals.append("missing")  # absent or array-valued: not stringable
+            continue
+        typ, v = item
+        if typ == "f":
+            from ..writers import format_float
+
+            vals.append(format_float(v))
+        else:
+            vals.append(str(v))
+        got = True
+    return "_".join(vals) if got else None
 
 
 def _numpy_counts(

@@ -14,7 +14,9 @@ from dataclasses import dataclass, field
 
 from ..caller import ThresholdCaller
 from ..io.bam import BamReader
-from ..writers import BedGraphWriter, BedMethylWriter
+from ..writers import (
+    BedGraphWriter, BedMethylWriter, PartitioningBedMethylWriter,
+)
 from .engine import (
     ColumnarRows, FormattedRows, PileupOptions, TileProcessor,
 )
@@ -43,6 +45,9 @@ class PileupConfig:
     with_header: bool = False
     bedgraph: bool = False
     prefix: str | None = None
+    # SAM tags partitioning output into per-key files (--partition-tag);
+    # when set, `out` is a directory (writers.rs:1005)
+    partition_tags: list | None = None
     use_device: bool = True
     sampling_interval_size: int = 1_000_000
     # motif / reference options
@@ -139,6 +144,15 @@ def run_pileup(cfg: PileupConfig) -> dict:
 
     caller = resolve_caller(cfg, reader, position_filter)
 
+    if cfg.partition_tags:
+        for t in cfg.partition_tags:
+            if len(t) != 2:
+                raise ValueError(
+                    f"partition tag {t!r} is not a 2-character SAM tag"
+                )
+        if cfg.journal is not None:
+            raise ValueError("--journal is not supported with --partition-tag")
+
     opts = PileupOptions(
         combine_mods=cfg.combine_mods,
         collapse=list(cfg.collapse),
@@ -147,6 +161,7 @@ def run_pileup(cfg: PileupConfig) -> dict:
         max_depth=cfg.max_depth,
         use_device=cfg.use_device,
         combine_strands=cfg.combine_strands,
+        partition_tags=list(cfg.partition_tags) if cfg.partition_tags else None,
     )
     proc = TileProcessor(caller, opts)
 
@@ -168,7 +183,13 @@ def run_pileup(cfg: PileupConfig) -> dict:
         journal_fh = open(cfg.journal, "a")
 
     if cfg.bedgraph:
-        writer = BedGraphWriter(cfg.out, cfg.prefix)
+        writer = BedGraphWriter(
+            cfg.out, cfg.prefix, partitioned=bool(cfg.partition_tags)
+        )
+    elif cfg.partition_tags:
+        writer = PartitioningBedMethylWriter(
+            cfg.out, cfg.prefix, cfg.mixed_delimiters
+        )
     elif cfg.out in ("-", "stdout"):
         writer = BedMethylWriter(sys.stdout, cfg.mixed_delimiters, cfg.with_header)
     elif completed_tiles:
@@ -231,9 +252,35 @@ def run_pileup(cfg: PileupConfig) -> dict:
 
     n_rows = 0
 
+    def write_partitioned(chrom, results):
+        nonlocal n_rows
+        for key, res in results:
+            if cfg.bedgraph:
+                if isinstance(res, ColumnarRows):
+                    writer.write_columnar(chrom, res, partition_key=key)
+                    n_rows += len(res)
+                else:
+                    for _pos, rows in res:
+                        writer.write_rows(
+                            chrom, rows, motif_labels, partition_key=key
+                        )
+                        n_rows += len(rows)
+                continue
+            w = writer.for_key(key)
+            if isinstance(res, ColumnarRows):
+                w.write_columnar(chrom, res)
+                n_rows += len(res)
+            else:
+                for _pos, rows in res:
+                    w.write_rows(chrom, rows, motif_labels)
+                    n_rows += len(rows)
+
     def finish_and_write(inflight):
         nonlocal n_rows
         chrom, tid, start, end, pend = inflight
+        if cfg.partition_tags:
+            write_partitioned(chrom, proc.finish_tile(pend))
+            return
         if isinstance(writer, BedMethylWriter):
             res = proc.finish_tile(pend, chrom=chrom, space=writer.space)
         else:

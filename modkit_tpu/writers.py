@@ -179,61 +179,120 @@ class BedMethylWriter:
 class BedGraphWriter:
     """Per-(mod code, strand) bedGraph files in a directory (writers.rs:264).
 
-    Rows: chrom start end fraction_modified valid_coverage
+    Rows: chrom start end fraction_modified valid_coverage. With
+    ``partitioned`` (pileup --partition-tag), the partition key name joins
+    the filename and the NoKey partition maps to "ungrouped"
+    (writers.rs:318-346 get_writer_for_modstrand + use_groupings).
     """
 
     def __init__(self, out_dir: str, prefix: str | None = None, partitioned: bool = False):
         self.out_dir = out_dir
         self.prefix = prefix
+        self.partitioned = partitioned
         os.makedirs(out_dir, exist_ok=True)
         self._files: dict = {}
 
     def _fh_for(self, key: tuple):
         fh = self._files.get(key)
         if fh is None:
-            code, strand = key
+            key_name, code, strand = key
             strand_name = {"+": "positive", "-": "negative", ".": "combined"}[strand]
+            delim = "_" if key_name else ""
+            name = f"{key_name}{delim}{code}_{strand_name}.bedgraph"
             if self.prefix:
-                name = f"{self.prefix}_{code}_{strand_name}.bedgraph"
-            else:
-                name = f"{code}_{strand_name}.bedgraph"
+                name = f"{self.prefix}_{name}"
             fh = open(os.path.join(self.out_dir, name), "w")
             self._files[key] = fh
         return fh
 
+    def _key_name(self, partition_key) -> str:
+        if not self.partitioned:
+            return ""
+        return "ungrouped" if partition_key is None else partition_key
+
     def flush(self):
-        self._fh.flush()
+        for fh in self._files.values():
+            fh.flush()
 
     def tell(self) -> int:
-        return self._fh.tell()
+        raise NotImplementedError("bedgraph output has no resume journal")
 
-    def write_rows(self, chrom: str, rows, motif_labels=()):
+    def write_rows(self, chrom: str, rows, motif_labels=(), partition_key=None):
+        key_name = self._key_name(partition_key)
         for r in rows:
             label = str(r.mod_code)
             if len(motif_labels) >= 2 and r.motif_idx is not None:
-                label = f"{label}_{motif_labels[r.motif_idx]}"
-            fh = self._fh_for((label, r.strand))
-            frac = float(np.float32(r.fraction_modified))
+                label = f"{label}_{motif_labels[r.motif_idx].replace(',', '')}"
+            fh = self._fh_for((key_name, label, r.strand))
+            frac = format_float(r.fraction_modified)
             fh.write(
                 f"{chrom}\t{r.pos}\t{r.pos + 1}\t{frac}\t{r.valid_coverage}\n"
             )
 
-    def write_columnar(self, chrom: str, cols) -> None:
+    def write_columnar(self, chrom: str, cols, partition_key=None) -> None:
+        key_name = self._key_name(partition_key)
         names = [str(c) for c in cols.labels]
         sc = ("+", "-")
         fracs = (
             cols.n_mod.astype(np.float32) / cols.valid.astype(np.float32)
-        ).astype(np.float64).tolist()
+        )
         for p, s, j, va, fr in zip(
             cols.pos.tolist(), cols.strand.tolist(),
-            cols.code_idx.tolist(), cols.valid.tolist(), fracs,
+            cols.code_idx.tolist(), cols.valid.tolist(), fracs.tolist(),
         ):
-            fh = self._fh_for((names[j], sc[s]))
-            fh.write(f"{chrom}\t{p}\t{p + 1}\t{fr}\t{va}\n")
+            fh = self._fh_for((key_name, names[j], sc[s]))
+            fh.write(
+                f"{chrom}\t{p}\t{p + 1}\t{_format_float_cached(float(np.float32(fr)), False)}\t{va}\n"
+            )
 
     def close(self):
         for fh in self._files.values():
             fh.close()
+
+
+class PartitioningBedMethylWriter:
+    """bedMethyl rows routed to one file per partition key in a directory
+    (writers.rs:1005 PartitioningBedMethylWriter): ``{prefix_}{key}.bed``,
+    the NoKey partition writing to ``ungrouped.bed``."""
+
+    def __init__(
+        self,
+        out_dir: str,
+        prefix: str | None = None,
+        mixed_delimiters: bool = False,
+    ):
+        self.out_dir = out_dir
+        self.prefix = prefix
+        self.mixed_delimiters = mixed_delimiters
+        os.makedirs(out_dir, exist_ok=True)
+        self._writers: dict = {}
+
+    def for_key(self, partition_key) -> BedMethylWriter:
+        key_name = "ungrouped" if partition_key is None else partition_key
+        w = self._writers.get(key_name)
+        if w is None:
+            name = (
+                f"{self.prefix}_{key_name}.bed"
+                if self.prefix
+                else f"{key_name}.bed"
+            )
+            w = BedMethylWriter(
+                os.path.join(self.out_dir, name), self.mixed_delimiters
+            )
+            self._writers[key_name] = w
+        return w
+
+    @property
+    def rows_written(self) -> int:
+        return sum(w.rows_written for w in self._writers.values())
+
+    def flush(self):
+        for w in self._writers.values():
+            w.flush()
+
+    def close(self):
+        for w in self._writers.values():
+            w.close()
 
 
 class TsvWriter:
