@@ -621,6 +621,7 @@ def cmd_pileup(args) -> int:
         include_bed=args.include_bed,
         sampling_interval_size=args.sampling_interval_size,
         journal=args.journal,
+        suppress_progress=args.suppress_progress,
     )
     stats = run_pileup(cfg)
     if stats["errors"]:
@@ -1007,6 +1008,9 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
         return 2
+    from .logging import init_logging
+
+    init_logging(getattr(args, "log_filepath", None))
     return args.func(args)
 
 

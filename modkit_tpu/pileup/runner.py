@@ -16,6 +16,7 @@ from ..caller import ThresholdCaller
 from ..io.bam import BamReader
 from ..writers import (
     BedGraphWriter, BedMethylWriter, PartitioningBedMethylWriter,
+    format_float,
 )
 from .engine import (
     ColumnarRows, FormattedRows, PileupOptions, TileProcessor,
@@ -50,6 +51,7 @@ class PileupConfig:
     partition_tags: list | None = None
     use_device: bool = True
     sampling_interval_size: int = 1_000_000
+    suppress_progress: bool = False
     # motif / reference options
     reference_fasta: str | None = None
     motifs: list = field(default_factory=list)  # raw ["CG", "0", ...]
@@ -103,11 +105,13 @@ def resolve_preset(cfg: PileupConfig) -> PileupConfig:
 
 
 def run_pileup(cfg: PileupConfig) -> dict:
+    from ..logging import ProgressTicker, get_logger
     from ..motifs import (
         parse_motifs, scan_focus_positions, scan_focus_positions_combine,
     )
     from ..position_filter import StrandedPositionFilter
 
+    log = get_logger()
     cfg = resolve_preset(cfg)
     reader = BamReader(cfg.in_bam)
     header = reader.header
@@ -312,6 +316,10 @@ def run_pileup(cfg: PileupConfig) -> dict:
             )
             journal_fh.flush()
 
+    ticker = ProgressTicker(
+        "processing genome tiles:", suppress=cfg.suppress_progress
+    )
+
     # one-deep pipeline: launch tile i+1 (host decode + async device
     # dispatch) before materializing tile i, so device compute and D2H
     # transfer overlap host work (the TPU analog of the reference's
@@ -324,12 +332,20 @@ def run_pileup(cfg: PileupConfig) -> dict:
             pend = None
         if inflight is not None:
             finish_and_write(inflight)
+            ticker.update(
+                rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped
+            )
         inflight = (chrom, tid, start, end, pend)
     if inflight is not None:
         finish_and_write(inflight)
+    ticker.finish(rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped)
     writer.close()
     if journal_fh is not None:
         journal_fh.close()
+    log.info(
+        "Done, processed %d rows. Processed ~%d reads and skipped ~%d reads.",
+        n_rows, proc.n_used, proc.n_skipped,
+    )
     return dict(
         rows=n_rows,
         reads_used=proc.n_used,
@@ -346,17 +362,31 @@ def run_pileup(cfg: PileupConfig) -> dict:
 def resolve_caller(
     cfg: PileupConfig, reader: BamReader, position_filter=None
 ) -> ThresholdCaller:
+    from ..logging import get_logger
+
+    log = get_logger()
     if cfg.no_filtering:
+        log.info("not performing filtering")
         return ThresholdCaller.passthrough()
     per_mod = dict(cfg.mod_thresholds or {})
+    for code, thresh in per_mod.items():
+        log.info(
+            "parsed user-input threshold %s for mod-code %s", thresh, code
+        )
     if cfg.filter_threshold is not None:
         ft = dict(cfg.filter_threshold)
         default = ft.pop("default", 0.0)
+        for base, t in ft.items():
+            log.info("using threshold %s for base %s", t, base)
         return ThresholdCaller(ft, per_mod, default)
     # estimate via sampling + percentile (command_utils.rs:74
     # get_threshold_from_options)
     from ..thresholds import estimate_thresholds
 
+    if cfg.sample_frac is not None:
+        log.info("sampling %s%% of reads", cfg.sample_frac * 100)
+    elif cfg.num_reads:
+        log.info("attempting to sample %d reads", cfg.num_reads)
     per_base = estimate_thresholds(
         reader,
         num_reads=cfg.num_reads,
@@ -371,4 +401,9 @@ def resolve_caller(
         interval_size=cfg.sampling_interval_size,
         position_filter=position_filter,
     )
+    for base, t in per_base.items():
+        log.info(
+            "estimated pass threshold %s for primary sequence base %s",
+            format_float(t), base,
+        )
     return ThresholdCaller(per_base, per_mod, 0.0)
