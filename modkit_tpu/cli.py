@@ -217,6 +217,9 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--edge-filter", default=None)
         q.add_argument("--invert-edge-filter", action="store_true")
         q.add_argument("--no-headers", action="store_true")
+        q.add_argument("--bgzf", action="store_true",
+                       help="compress output with parallel bgzf")
+        q.add_argument("--queue-size", type=int, default=1000)
         _add_common_sampling(q)
         _add_logging(q)
         if mode == "calls":
@@ -801,6 +804,7 @@ def cmd_extract(args) -> int:
         mapped_only=args.mapped_only, region=args.region,
         allow_non_primary=args.allow_non_primary,
         include_header=not args.no_headers,
+        bgzf=args.bgzf, threads=args.threads,
     )
     return 0
 

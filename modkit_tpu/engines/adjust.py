@@ -16,7 +16,8 @@ import numpy as np
 from ..caller import ThresholdCaller
 from ..errors import ErrorTally, ModKitError
 from ..io.bam import (
-    BamReader, BamWriter, encode_aux_array_u8, encode_aux_string,
+    BamReader, BamWriter, add_modkit_pg_records, encode_aux_array_u8,
+    encode_aux_string,
 )
 from ..modtags import (
     DEFAULT_IMPLICIT, EXPLICIT, IMPLICIT, base_occurrence_positions,
@@ -188,7 +189,7 @@ def adjust_modbam(
     errors = ErrorTally()
     seq_motifs = SequenceMotifs(motifs) if motifs else None
     n = 0
-    with BamWriter(out_bam, reader.header) as writer:
+    with BamWriter(out_bam, add_modkit_pg_records(reader.header)) as writer:
         for rec in reader.records():
             try:
                 raw = adjust_record_tags(

@@ -417,7 +417,12 @@ def read_mod_calls(rec, caller: ThresholdCaller):
                 (int(g.positions[i]), base, codes, g.probs[i], bool(g.inferred[i]))
             )
     if len(strands) > 1:
-        return None  # duplex not supported
+        # parity with the reference, which also skips duplex reads here
+        # (entropy/mod.rs:1535 debug!("duplex not yet supported"))
+        from ..logging import get_logger
+
+        get_logger().debug("duplex not yet supported")
+        return None
     # union of codes per base across the read (PositionModCalls semantics)
     codes_per_base: dict[str, list] = {}
     for _qpos, base, codes, prob_row, _inf in entries:

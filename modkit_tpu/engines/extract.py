@@ -272,6 +272,8 @@ def run_extract(
     region: str | None = None,
     allow_non_primary: bool = False,
     include_header: bool = True,
+    bgzf: bool = False,
+    threads: int = 4,
 ) -> dict:
     reader = BamReader(in_bam)
     ref_seqs = None
@@ -289,6 +291,12 @@ def run_extract(
     if isinstance(out, str):
         if out in ("-", "stdout"):
             fh = sys.stdout
+        elif bgzf:
+            # parallel-bgzf-compressed TSV (extract/subcommand.rs:270 --bgzf)
+            from ..io.bgzf import BgzfTextWriter
+
+            fh = BgzfTextWriter(out, threads=threads)
+            close = True
         else:
             fh = open(out, "w")
             close = True

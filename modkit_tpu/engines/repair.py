@@ -19,6 +19,7 @@ import numpy as np
 from ..io.bam import (
     BamReader,
     BamWriter,
+    add_modkit_pg_records,
     encode_aux_array_u8,
     encode_aux_string,
 )
@@ -122,7 +123,9 @@ def run_repair(args) -> int:
     donor_reader = BamReader(args.donor)
     acceptor_reader = BamReader(args.acceptor)
     n_repaired = n_failed = 0
-    with BamWriter(args.output, acceptor_reader.header) as writer:
+    with BamWriter(
+        args.output, add_modkit_pg_records(acceptor_reader.header)
+    ) as writer:
         for donor, acceptor in _zip_pairs(
             donor_reader.records(), acceptor_reader.records()
         ):

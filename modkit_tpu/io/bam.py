@@ -341,6 +341,43 @@ class BamHeader:
         return b"".join(out)
 
 
+def add_modkit_pg_records(header: BamHeader) -> BamHeader:
+    """New header with a modkit @PG record appended (util.rs:607
+    add_modkit_pg_records, used by the BAM-rewriting subcommands at
+    commands.rs:375): ID chains as modkit, modkit.1, ... with PP pointing
+    at the previous invocation, PN/VN/CL carrying program, version and the
+    full command line."""
+    import sys
+
+    from .. import __version__
+
+    runs = []
+    for line in header.text.splitlines():
+        if not line.startswith("@PG"):
+            continue
+        for fld in line.split("\t")[1:]:
+            if fld.startswith("ID:") and "modkit" in fld[3:]:
+                parts = fld[3:].split(".")
+                seg = parts[1] if len(parts) > 1 else "0"
+                if seg.isdigit():
+                    runs.append(int(seg))
+    pp = None
+    if runs:
+        latest = max(runs)
+        pp = f"modkit.{latest}" if latest > 0 else "modkit"
+        pg_id = f"modkit.{latest + 1}"
+    else:
+        pg_id = "modkit"
+    rec = f"@PG\tID:{pg_id}\tPN:modkit\tVN:{__version__}"
+    if pp is not None:
+        rec += f"\tPP:{pp}"
+    rec += "\tCL:" + " ".join(sys.argv) + "\n"
+    text = header.text
+    if text and not text.endswith("\n"):
+        text += "\n"
+    return BamHeader(text + rec, header.refs)
+
+
 class BamReader:
     def __init__(self, path: str | os.PathLike):
         self.path = os.fspath(path)
