@@ -896,12 +896,44 @@ def cmd_sample_probs(args) -> int:
     if args.out_dir:
         os.makedirs(args.out_dir, exist_ok=True)
         prefix = f"{args.prefix}_" if args.prefix else ""
-        out_fp = os.path.join(args.out_dir, f"{prefix}thresholds.tsv")
-        if os.path.exists(out_fp) and not args.force:
-            raise SystemExit(f"refusing to overwrite {out_fp}")
-        with open(out_fp, "w") as fh:
+        targets = [f"{prefix}thresholds.tsv"]
+        if args.histogram:
+            targets += [
+                f"{prefix}probabilities.tsv",
+                f"{prefix}counts.html",
+                f"{prefix}proportion.html",
+            ]
+        paths = [os.path.join(args.out_dir, t) for t in targets]
+        for fp in paths:
+            if os.path.exists(fp) and not args.force:
+                raise SystemExit(f"refusing to overwrite {fp}")
+        with open(paths[0], "w") as fh:
             fh.write(render_percentiles_table(per_base))
+        if args.histogram:
+            from .charts import bar_chart_html
+            from .summary import (
+                histogram_chart_data, prob_histograms,
+                render_probabilities_tsv,
+            )
+
+            hists = prob_histograms(sampled)
+            with open(paths[1], "w") as fh:
+                fh.write(render_probabilities_tsv(hists))
+            cats, counts_s, prop_s = histogram_chart_data(hists)
+            with open(paths[2], "w") as fh:
+                fh.write(bar_chart_html("Counts", cats, counts_s, "counts"))
+            with open(paths[3], "w") as fh:
+                fh.write(
+                    bar_chart_html("Proportion", cats, prop_s, "proportion")
+                )
     else:
+        if args.histogram:
+            from .logging import get_logger
+
+            get_logger().warning(
+                "--hist requires an output directory (-o); only writing "
+                "the thresholds table"
+            )
         sys.stdout.write(render_percentiles_table(per_base))
     return 0
 

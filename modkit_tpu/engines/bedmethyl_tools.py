@@ -231,6 +231,33 @@ def run_localize(args) -> int:
     finally:
         if close:
             out.close()
+
+    if getattr(args, "chart_filepath", None):
+        # HTML line chart of percent-modified by offset per mod code
+        # (localise/subcommand.rs:291 + util.rs:86 get_plot)
+        from ..charts import line_chart_html
+
+        name = args.chart_name or "modification_patterns"
+        series = []
+        for code in sorted(offsets, key=mod_code_sort_key):
+            pts = []
+            for off in sorted(offsets[code]):
+                n_mod, n_valid = offsets[code][off]
+                pct = (
+                    float(
+                        np.float32(n_mod)
+                        / np.float32(n_valid)
+                        * np.float32(100.0)
+                    )
+                    if n_valid
+                    else 0.0
+                )
+                pts.append((float(off), pct))
+            series.append((format_mod_code(code), pts))
+        with open(args.chart_filepath, "w") as fh:
+            fh.write(
+                line_chart_html(name, series, "offset", "percent modified")
+            )
     return 0
 
 

@@ -259,3 +259,129 @@ def sample_probs_percentiles(
     for b, probs in confidences_per_base(sampled).items():
         out[DNA_BASES[b]] = Percentiles(probs, desired_percentiles)
     return out
+
+
+def prob_histograms(sampled: dict) -> dict:
+    """Per-(primary base, argmax state) qual-bin histograms of the winning
+    call probability: {(base_char, state): int64[256]} with state CANONICAL
+    or the winning mod code (read_ids_to_base_mod_probs.rs:104
+    mle_probs_per_base_mod + :159 get_per_mod_histograms; bins are
+    prob_to_qual = floor(p*256), 255 for p==1, mod_bam.rs:798)."""
+    f32 = np.float32
+    out: dict = {}
+
+    def acc(key, quals):
+        if not len(quals):
+            return
+        h = out.get(key)
+        if h is None:
+            h = out[key] = np.zeros(256, dtype=np.int64)
+        h += np.bincount(quals, minlength=256)
+
+    for per_base in sampled.values():
+        for b_idx, groups in per_base.items():
+            base = DNA_BASES[b_idx]
+            for codes, probs in groups:
+                n, m = probs.shape
+                if n == 0:
+                    continue
+                live = np.where(probs >= 0, probs, f32(0))
+                canon = f32(1.0) - live.sum(axis=1, dtype=f32)
+                if m:
+                    masked = np.where(probs >= 0, probs, -np.inf)
+                    # ties between mods resolve to the LAST max (Rust
+                    # max_by semantics in argmax_base_mod_call)
+                    win_j = (m - 1) - np.argmax(masked[:, ::-1], axis=1)
+                    best = masked[np.arange(n), win_j]
+                else:
+                    win_j = np.zeros(n, dtype=np.int64)
+                    best = np.full(n, -np.inf, dtype=f32)
+                mod_wins = best > canon  # canonical wins ties
+                win_p = np.where(mod_wins, best, canon).astype(f32)
+                quals = np.floor(win_p * f32(256.0)).astype(np.int64)
+                quals[win_p == f32(1.0)] = 255
+                np.clip(quals, 0, 255, out=quals)
+                acc((base, CANONICAL), quals[~mod_wins])
+                for j in range(m):
+                    acc(
+                        (base, codes[j]),
+                        quals[mod_wins & (win_j == j)],
+                    )
+    return out
+
+
+def _hist_sort_key(key):
+    """(primary base, state) ordering: base, then Canonical < Code(char) <
+    ChEbi(u32) (derived Ord on BaseState/ModCodeRepr, mod_base_code.rs:106,
+    :253)."""
+    base, state = key
+    if state is CANONICAL:
+        return (base, 0, "")
+    if isinstance(state, int):
+        return (base, 2, state)
+    return (base, 1, str(state))
+
+
+def render_probabilities_tsv(hists: dict) -> str:
+    """probabilities.tsv rows (writers.rs:842-935: code, primary_base,
+    range_start, range_end, count, frac, percentile_rank; percentile rank
+    is the midpoint rank (cum - 0.5 n)/total * 100 in f32)."""
+    f32 = np.float32
+    lines = [
+        "code\tprimary_base\trange_start\trange_end\tcount\tfrac"
+        "\tpercentile_rank"
+    ]
+    for key in sorted(hists, key=_hist_sort_key):
+        base, state = key
+        counts = hists[key]
+        total = f32(counts.sum())
+        code_str = "-" if state is CANONICAL else str(state)
+        cum = f32(0.0)
+        for q in np.flatnonzero(counts):
+            n = int(counts[q])
+            frac = f32(n) / total
+            cum = cum + f32(n)
+            rank = ((cum - f32(0.5) * f32(n)) / total) * f32(100.0)
+            lines.append(
+                "\t".join(
+                    [
+                        code_str, base,
+                        format_float(f32(q) / f32(256.0)),
+                        format_float(f32(q + 1) / f32(256.0)),
+                        str(n),
+                        format_float(frac),
+                        format_float(rank),
+                    ]
+                )
+            )
+    return "\n".join(lines) + "\n"
+
+
+def histogram_chart_data(hists: dict):
+    """(categories, counts_series, proportion_series) for the counts.html /
+    proportion.html bar charts (writers.rs:795-985): categories are the
+    union of observed qual bins labelled "[from, to)" in percent."""
+    f32 = np.float32
+    bins = sorted(
+        {int(q) for h in hists.values() for q in np.flatnonzero(h)}
+    )
+    categories = [
+        "[{:.2f}, {:.2f})".format(
+            float(f32(q) / f32(256.0) * f32(100.0)),
+            float(f32(q + 1) / f32(256.0) * f32(100.0)),
+        )
+        for q in bins
+    ]
+    counts_series = []
+    prop_series = []
+    for key in sorted(hists, key=_hist_sort_key):
+        base, state = key
+        label = f"{base}:{'-' if state is CANONICAL else state}"
+        h = hists[key]
+        dat = [int(h[q]) for q in bins]
+        tot = sum(dat) or 1
+        counts_series.append((label, dat))
+        prop_series.append(
+            (label, [float(f32(x) / f32(tot)) for x in dat])
+        )
+    return categories, counts_series, prop_series
