@@ -146,6 +146,49 @@ def group_confidences(groups: list) -> np.ndarray:
     )
 
 
+def _count_quota_schedule(
+    num_reads: int,
+    mapped_per_tid: dict[int, int],
+    unmapped_count: int,
+    include_unmapped: bool,
+) -> dict[int, int]:
+    """Per-contig read quotas proportional to index mapped counts
+    (sampling_schedule.rs:171 from_num_reads): quota = min(ceil(num_reads *
+    contig_frac), contig_count), then low-count contigs are pruned while the
+    scheduled total exceeds 1.5x the request (:225-247 floor loop; the
+    recomputed total intentionally drops the unmapped share, mirroring the
+    reference)."""
+    f32 = np.float32
+    total = sum(mapped_per_tid.values())
+    if include_unmapped:
+        total += unmapped_count
+    if total <= 0 or num_reads <= 0:
+        return {}
+    quotas: dict[int, int] = {}
+    total_to_sample = 0
+    for tid, n in mapped_per_tid.items():
+        if n <= 0:
+            continue
+        q = min(int(np.ceil(f32(num_reads) * (f32(n) / f32(total)))), n)
+        quotas[tid] = q
+        total_to_sample += q
+    if include_unmapped and unmapped_count > 0:
+        total_to_sample += int(
+            np.ceil(f32(num_reads) * (f32(unmapped_count) / f32(total)))
+        )
+    floor = 1
+    while total_to_sample / num_reads > 1.5:
+        for tid in quotas:
+            if 0 < quotas[tid] <= floor:
+                total_to_sample -= quotas[tid]
+                quotas[tid] = 0
+            if total_to_sample <= num_reads:
+                break
+        total_to_sample = sum(quotas.values())
+        floor += 1
+    return {t: q for t, q in quotas.items() if q > 0}
+
+
 def sample_reads(
     reader,
     num_reads: int | None,
@@ -163,8 +206,14 @@ def sample_reads(
     """Sample reads; returns {read_name: {base_idx: [(codes, probs)]}}.
 
     Count-quota mode allocates per-contig quotas proportional to index
-    mapped-read counts (sampling_schedule.rs:171 from_num_reads); fraction
-    mode is per-read Bernoulli with optional seed (record_sampler.rs:29).
+    mapped-read counts (sampling_schedule.rs:171 from_num_reads) and fans
+    out over genome intervals with per-batch remaining-quota accounting
+    (:440 accumulate_sample_counts), so sampled reads spread evenly across
+    each contig instead of clustering at its start. Fraction mode is
+    per-read Bernoulli with optional seed (record_sampler.rs:29); the
+    probability is ``sample_frac`` for every read — deliberately NOT the
+    reference's per-interval ``sample_frac * interval_len/contig_len``
+    scaling (:527,:476), which vanishes at WGS scale.
     """
     if only_mapped is None:
         only_mapped = not include_unmapped
@@ -177,8 +226,6 @@ def sample_reads(
             return False
         if only_mapped and rec.is_unmapped:
             return False
-        if rec.name in seen:
-            return False
         return True
 
     use_native = position_filter is None
@@ -188,6 +235,14 @@ def sample_reads(
         use_native = _native.available()
 
     def add(rec) -> bool:
+        """Decode + stash one read; True if it consumes sampling quota.
+
+        A read already seen (fetched again by an overlapping interval)
+        still consumes quota — the reference's per-interval RecordSampler
+        commits its token before the Moniod merge dedups by read id
+        (record_sampler.rs:72, reads_sampler/mod.rs:246)."""
+        if rec.name in seen:
+            return True
         try:
             if use_native:
                 per_base = _native.read_groups(
@@ -222,27 +277,57 @@ def sample_reads(
     if reader.has_index():
         stats = reader.idxstats()
         mapped_per_tid = {tid: stats[tid][2] for tid, _, _ in spans}
-        total_mapped = sum(mapped_per_tid.values())
+        unmapped_tail = reader.n_no_coor()
+        quotas = (
+            _count_quota_schedule(
+                num_reads, mapped_per_tid, unmapped_tail,
+                include_unmapped=not only_mapped,
+            )
+            if num_reads is not None
+            else None
+        )
         for tid, start, end in spans:
             if mapped_per_tid.get(tid, 0) == 0:
                 continue
-            if num_reads is not None and total_mapped > 0:
-                quota = int(np.ceil(
-                    num_reads * mapped_per_tid[tid] / total_mapped
-                ))
+            quota = quotas.get(tid, 0) if quotas is not None else None
+            if quota == 0 and quotas is not None:
+                continue  # pruned by the schedule
+            contig_len = reader.header.refs[tid].length
+            # interval fan-out with proportional per-interval draws
+            # (sampling_schedule.rs:440 accumulate_sample_counts): each
+            # interval draws ceil(quota * len/contig_len) reads, and
+            # consecutive intervals merge until the draw reaches the
+            # min-reads-per-query floor of 50 (:447,:534-560 slack merge),
+            # spreading the sample across the whole contig
+            regions: list[tuple[int, int, int | None]] = []
+            if quota is None:
+                regions.append((start, end, None))
             else:
-                quota = None
-            taken = 0
-            for rec in reader.fetch(tid, start, end):
-                if quota is not None and taken >= quota:
-                    break
-                if not use_record(rec):
-                    continue
-                if sample_frac is not None and sample_frac < 1.0:
-                    if rng.random() >= sample_frac:
+                pos = start
+                pend_s: int | None = None
+                pend_x = 0
+                while pos < end:
+                    e = min(pos + interval_size, end)
+                    f = np.float32(e - pos) / np.float32(contig_len)
+                    if pend_s is None:
+                        pend_s = pos
+                    pend_x += int(np.ceil(np.float32(quota) * f))
+                    pos = e
+                    if pend_x >= 50 or pos >= end:
+                        regions.append((pend_s, pos, pend_x))
+                        pend_s, pend_x = None, 0
+            for s, e, x in regions:
+                taken = 0
+                for rec in reader.fetch(tid, s, e):
+                    if x is not None and taken >= x:
+                        break
+                    if not use_record(rec):
                         continue
-                if add(rec):
-                    taken += 1
+                    if sample_frac is not None and sample_frac < 1.0:
+                        if rng.random() >= sample_frac:
+                            continue
+                    if add(rec):
+                        taken += 1
         # unmapped tail (reads_sampler/mod.rs:89-125)
         if not only_mapped and (reader.n_no_coor() > 0 or len(seen) < 100):
             quota = (
