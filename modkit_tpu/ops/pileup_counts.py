@@ -129,6 +129,15 @@ def modcall_count_kernel(
     return counts.reshape(num_positions, 2, km)
 
 
+def device_putter(device=None):
+    """Array placement function: committed transfer to ``device`` when
+    given (jit then executes on that device — the tiles-axis round-robin
+    of SURVEY §2.5), default placement otherwise."""
+    if device is None:
+        return jnp.asarray
+    return lambda a: jax.device_put(a, device)
+
+
 def dispatch_modcall_counts(
     rpos: np.ndarray,
     strand: np.ndarray,
@@ -137,12 +146,14 @@ def dispatch_modcall_counts(
     thr_mod: np.ndarray,
     thr_can: np.ndarray,
     num_positions: int,
+    device=None,
 ):
     """Pad events/positions/codes to buckets (bounding jit specializations)
     and dispatch the mod-call kernel WITHOUT blocking: returns the in-flight
     device array [p_pad, 2, Km(m_pad)] (m_pad = round_up_codes(m)) so the
     host can overlap work with device compute + D2H transfer. Materialize
-    with ``np.asarray(out)[:num_positions]``."""
+    with ``np.asarray(out)[:num_positions]``. ``device`` pins the dispatch
+    to one local device (multi-device tile round-robin)."""
     n = len(rpos)
     m = probs.shape[1] if probs.ndim == 2 else 1
     m_pad = round_up_codes(max(m, 1))
@@ -152,6 +163,7 @@ def dispatch_modcall_counts(
     p_pad = round_up_positions(num_positions)
     nb = round_up_events(n)
     pad = nb - n
+    put = device_putter(device)
 
     def pad1(a):
         return np.pad(a, (0, pad))
@@ -163,13 +175,13 @@ def dispatch_modcall_counts(
     valid = np.zeros(nb, dtype=bool)
     valid[:n] = True
     return modcall_count_kernel(
-        jnp.asarray(pad1(rpos).astype(np.int32)),
-        jnp.asarray(pad1(strand).astype(np.int32)),
-        jnp.asarray(pad1(base_idx).astype(np.int32)),
-        jnp.asarray(probs_p.astype(np.float32)),
-        jnp.asarray(valid),
-        jnp.asarray(thr_mod_p.astype(np.float32)),
-        jnp.asarray(thr_can.astype(np.float32)),
+        put(pad1(rpos).astype(np.int32)),
+        put(pad1(strand).astype(np.int32)),
+        put(pad1(base_idx).astype(np.int32)),
+        put(probs_p.astype(np.float32)),
+        put(valid),
+        put(thr_mod_p.astype(np.float32)),
+        put(thr_can.astype(np.float32)),
         num_positions=p_pad,
         num_codes=m_pad,
     )

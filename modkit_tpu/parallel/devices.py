@@ -1,0 +1,100 @@
+"""Device selection + multi-host initialization for production engines.
+
+Single host: genome tiles dispatch round-robin across all local devices
+(the tiles axis of SURVEY §2.5 — the reference's rayon interval fan-out,
+pileup/mod.rs:684, mapped onto chips instead of threads). Multi-host: an
+optional jax.distributed init from environment variables, after which each
+process owns tiles where tile_index % process_count == process_index and
+writes its own genome-ordered output shard (the built-in replacement for
+the reference's manual --region sharding + external merge,
+book/src/perf_considerations.md:3-9).
+"""
+
+from __future__ import annotations
+
+import os
+
+_devices_cache: list | None = None
+
+
+def compute_devices() -> list:
+    """Local devices used for round-robin tile dispatch.
+
+    ``MODKIT_TPU_DEVICES=N`` caps the count (used by tests to compare
+    1-device vs N-device output byte-for-byte).
+    """
+    global _devices_cache
+    if _devices_cache is None:
+        import jax
+
+        devs = list(jax.local_devices())
+        cap = os.environ.get("MODKIT_TPU_DEVICES")
+        if cap:
+            devs = devs[: max(1, int(cap))]
+        _devices_cache = devs
+    return _devices_cache
+
+
+def reset_devices_cache() -> None:
+    global _devices_cache
+    _devices_cache = None
+
+
+def maybe_init_distributed() -> bool:
+    """Initialize jax.distributed from MODKIT_TPU_COORD /
+    MODKIT_TPU_NPROC / MODKIT_TPU_PROC_ID (multi-host DCN init); no-op and
+    False when unset. Idempotent."""
+    coord = os.environ.get("MODKIT_TPU_COORD")
+    if not coord:
+        return False
+    import jax
+
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["MODKIT_TPU_NPROC"]),
+            process_id=int(os.environ["MODKIT_TPU_PROC_ID"]),
+        )
+    except RuntimeError:
+        pass  # already initialized
+    return True
+
+
+def process_info() -> tuple[int, int]:
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def shard_path(out: str, process_index: int) -> str:
+    return f"{out}.shard{process_index:04d}"
+
+
+def merge_shards(out: str, n_processes: int, remove: bool = True) -> None:
+    """Interleave per-process shards back into one genome-ordered ``out``.
+
+    In multi-host mode tiles are assigned round-robin (global tile k goes
+    to process k % P) and each process writes its tiles in order, ending
+    every tile block — including empty ones — with a sentinel. Re-merging
+    is therefore a round-robin zip of whole tile blocks, no sort needed.
+    """
+    import itertools
+
+    readers = [
+        open(shard_path(out, i), "rb") for i in range(n_processes)
+    ]
+    # tile blocks are separated by b"\x00TILE\x00" sentinels written by the
+    # sharded runner; round-robin them back into genome order
+    blocks = []
+    for i, fh in enumerate(readers):
+        data = fh.read().split(b"\x00TILE\x00")
+        fh.close()
+        blocks.append([b for b in data if b])
+    with open(out, "wb") as o:
+        for row in itertools.zip_longest(*blocks):
+            for b in row:
+                if b:
+                    o.write(b)
+    if remove:
+        for i in range(n_processes):
+            os.remove(shard_path(out, i))

@@ -167,6 +167,22 @@ class TileProcessor:
         self._cache_tid: int | None = None
         self.n_used = 0
         self.n_skipped = 0
+        self._dev_rr = 0  # round-robin tile -> device assignment
+
+    def _next_device(self):
+        """Next local device for this tile's kernel dispatch (tiles-axis
+        data parallelism across chips, SURVEY §2.5 row 1); None (default
+        placement) on single-device hosts."""
+        if not self.opts.use_device:
+            return None
+        from ..parallel.devices import compute_devices
+
+        devs = compute_devices()
+        if len(devs) <= 1:
+            return None
+        d = devs[self._dev_rr % len(devs)]
+        self._dev_rr += 1
+        return d
 
     def _events_for(self, rec, tid):
         if tid != self._cache_tid:
@@ -372,7 +388,8 @@ class TileProcessor:
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
             if self.opts.use_device:
                 modc = dispatch_modcall_counts(
-                    rpos, strand, base_idx, probs, thr_mod, thr_can, p_total
+                    rpos, strand, base_idx, probs, thr_mod, thr_can, p_total,
+                    device=self._next_device(),
                 )
             else:
                 modc = modcall_counts_numpy(
@@ -451,8 +468,9 @@ class TileProcessor:
             thr_mod_p = thr_mod_p.astype(np.float32)
             thr_can = thr_can.astype(np.float32)
             if self.opts.use_device:
-                import jax.numpy as jnp
+                from ..ops.pileup_counts import device_putter
 
+                put = device_putter(self._next_device())
                 nb = round_up_events(n)
                 q = None
                 if _pallas_ok():
@@ -462,23 +480,23 @@ class TileProcessor:
 
                         quals_t, present, zero, base_idx = q
                         states = threshold_state_pallas(
-                            jnp.asarray(quals_t), jnp.asarray(present),
-                            jnp.asarray(zero), jnp.asarray(base_idx),
-                            jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                            put(quals_t), put(present),
+                            put(zero), put(base_idx),
+                            put(thr_mod_p), put(thr_can),
                         )
                 elif (q := res.export_quals(nb, m_pad)) is not None:
                     quals, present, zero, base_idx = q
                     states = threshold_state_from_quals(
-                        jnp.asarray(quals), jnp.asarray(present),
-                        jnp.asarray(zero), jnp.asarray(base_idx),
-                        jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                        put(quals), put(present),
+                        put(zero), put(base_idx),
+                        put(thr_mod_p), put(thr_can),
                     )
                 if q is None:
                     _, _, base_idx, probs = res.export_events(nb, m_pad)
                     states = threshold_state_f32(
-                        jnp.asarray(probs),
-                        jnp.asarray(base_idx.astype(np.uint8)),
-                        jnp.asarray(thr_mod_p), jnp.asarray(thr_can),
+                        put(probs),
+                        put(base_idx.astype(np.uint8)),
+                        put(thr_mod_p), put(thr_can),
                     )
                 states.copy_to_host_async()
             else:

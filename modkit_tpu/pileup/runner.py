@@ -186,6 +186,35 @@ def run_pileup(cfg: PileupConfig) -> dict:
                     completed_tiles[(rec["tid"], rec["start"])] = rec
         journal_fh = open(cfg.journal, "a")
 
+    # multi-host: after jax.distributed init each process owns tiles where
+    # tile_index % process_count == process_index, writes a genome-ordered
+    # shard, and process 0 merges after a cross-host barrier (built-in
+    # replacement for the reference's manual --region sharding,
+    # book/src/perf_considerations.md:3-9)
+    pidx, pcount = 0, 1
+    shard_mode = False
+    out_path = cfg.out
+    if cfg.use_device:
+        from ..parallel.devices import (
+            maybe_init_distributed, process_info, shard_path,
+        )
+
+        maybe_init_distributed()
+        pidx, pcount = process_info()
+        if pcount > 1:
+            if (
+                cfg.bedgraph
+                or cfg.partition_tags
+                or cfg.journal
+                or cfg.out in ("-", "stdout")
+            ):
+                raise ValueError(
+                    "multi-host pileup requires a plain bedMethyl output "
+                    "path (no bedgraph/partition/journal)"
+                )
+            shard_mode = True
+            out_path = shard_path(cfg.out, pidx)
+
     if cfg.bedgraph:
         writer = BedGraphWriter(
             cfg.out, cfg.prefix, partitioned=bool(cfg.partition_tags)
@@ -205,7 +234,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
         out_fh = open(cfg.out, "a")
         writer = BedMethylWriter(out_fh, cfg.mixed_delimiters, False)
     else:
-        writer = BedMethylWriter(cfg.out, cfg.mixed_delimiters, cfg.with_header)
+        writer = BedMethylWriter(
+            out_path, cfg.mixed_delimiters, cfg.with_header
+        )
 
     if cfg.region is not None:
         tid, rstart, rend = parse_region(cfg.region, header)
@@ -320,26 +351,52 @@ def run_pileup(cfg: PileupConfig) -> dict:
         "processing genome tiles:", suppress=cfg.suppress_progress
     )
 
-    # one-deep pipeline: launch tile i+1 (host decode + async device
-    # dispatch) before materializing tile i, so device compute and D2H
-    # transfer overlap host work (the TPU analog of the reference's
-    # rayon join(compute, send), pileup/subcommand.rs:733)
-    inflight = None
-    for tid, chrom, start, end, focus in iter_tiles():
+    # N-deep pipeline over the local devices: tile kernels dispatch
+    # round-robin across chips (TileProcessor._next_device) and up to one
+    # tile per device stays in flight, so all devices compute while the
+    # host decodes the next tile; results materialize in FIFO launch order
+    # so output stays genome-ordered (the TPU analog of the reference's
+    # rayon fan-out + ordered channel, pileup/subcommand.rs:714-799)
+    from collections import deque
+
+    n_inflight = 1
+    if cfg.use_device:
+        from ..parallel.devices import compute_devices
+
+        n_inflight = max(1, len(compute_devices()))
+    def finish_one(item):
+        finish_and_write(item)
+        if shard_mode:
+            writer.write_tile_sentinel()
+
+    inflight: deque = deque()
+    for tile_idx, (tid, chrom, start, end, focus) in enumerate(iter_tiles()):
+        if pcount > 1 and tile_idx % pcount != pidx:
+            continue  # owned by another host
         if focus is None or (focus.rule >= 0).any():
             pend = proc.launch_tile(reader, tid, start, end, focus)
         else:
             pend = None
-        if inflight is not None:
-            finish_and_write(inflight)
+        inflight.append((chrom, tid, start, end, pend))
+        if len(inflight) > n_inflight:
+            finish_one(inflight.popleft())
             ticker.update(
                 rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped
             )
-        inflight = (chrom, tid, start, end, pend)
-    if inflight is not None:
-        finish_and_write(inflight)
+    while inflight:
+        finish_one(inflight.popleft())
     ticker.finish(rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped)
     writer.close()
+    if shard_mode:
+        # cross-host barrier, then process 0 interleaves the shards back
+        # into one genome-ordered bedMethyl
+        from jax.experimental import multihost_utils
+
+        from ..parallel.devices import merge_shards
+
+        multihost_utils.sync_global_devices("modkit_pileup_shards")
+        if pidx == 0:
+            merge_shards(cfg.out, pcount)
     if journal_fh is not None:
         journal_fh.close()
     log.info(

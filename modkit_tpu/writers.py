@@ -164,6 +164,11 @@ class BedMethylWriter:
         self.rows_written += formatted.n_rows
         self._fh.write(formatted.text.decode("ascii"))
 
+    def write_tile_sentinel(self) -> None:
+        """Tile-boundary marker for multi-host shard files; stripped by
+        parallel.devices.merge_shards when re-interleaving shards."""
+        self._fh.write("\x00TILE\x00")
+
     def close(self):
         self._fh.flush()
         if self._owns:
