@@ -625,6 +625,7 @@ def cmd_pileup(args) -> int:
         sampling_interval_size=args.sampling_interval_size,
         journal=args.journal,
         suppress_progress=args.suppress_progress,
+        threads=args.threads,
     )
     stats = run_pileup(cfg)
     if stats["errors"]:

@@ -156,6 +156,13 @@ def load():
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.mk_threshold_states.restype = None
+            lib.mk_threshold_states.argtypes = [
+                ctypes.POINTER(_MkTileOut),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.mk_format_rows.restype = ctypes.c_int32
             lib.mk_format_rows.argtypes = [
                 ctypes.POINTER(ctypes.c_int32),   # counts
@@ -372,6 +379,22 @@ class NativeTile:
         if not ok:
             return None
         return quals_t, present, zero, base
+
+    def threshold_states_cpu(
+        self, thr_mod: np.ndarray, thr_can: np.ndarray
+    ) -> np.ndarray:
+        """Host C++ threshold-call states over this tile's events (the
+        pure-CPU baseline path; device kernels are the production path)."""
+        states = np.empty(self.n_events, dtype=np.uint8)
+        tm = np.ascontiguousarray(thr_mod[: self.m], dtype=np.float32)
+        tc = np.ascontiguousarray(thr_can, dtype=np.float32)
+        self._lib.mk_threshold_states(
+            ctypes.byref(self._out),
+            tm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            tc.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        return states
 
     def bincount_states(self, states: np.ndarray, m_pad: int) -> np.ndarray:
         """Histogram device-computed per-event states into the mod-call

@@ -40,6 +40,62 @@ def reset_devices_cache() -> None:
     _devices_cache = None
 
 
+_bw_cache: float | None = None
+
+
+def link_bandwidth_bytes_per_s() -> float:
+    """Measured host->device transfer bandwidth (one 4 MiB probe, cached).
+
+    Drives the adaptive offload policy: pileup counting is a
+    bandwidth-bound histogram (~6.5 B/event up, 1 B/event down, ~1 Gevent/s
+    on-chip), so the offload only pays when the link moves bytes faster
+    than the host's C++ counting path consumes events (~30 M events/s).
+    PCIe-attached chips (GB/s) always qualify; a network-tunnelled chip
+    (~50 MB/s) does not, and counting stays host-side while the device
+    keeps the compute-heavy kernels (DMR likelihoods, entropy, percentile).
+    """
+    global _bw_cache
+    if _bw_cache is None:
+        import time
+
+        import jax
+        import numpy as np
+
+        buf = np.zeros(1 << 22, dtype=np.uint8)
+        jax.device_put(buf[: 1 << 14]).block_until_ready()  # warm the path
+        t0 = time.perf_counter()
+        jax.device_put(buf).block_until_ready()
+        dt = time.perf_counter() - t0
+        _bw_cache = float(len(buf)) / max(dt, 1e-9)
+    return _bw_cache
+
+
+# host C++ threshold+count throughput (events/s), measured on this class of
+# host (native mk_threshold_states + mk_bincount_states, ~38 M events/s);
+# override with MODKIT_TPU_HOST_EVENT_RATE
+_HOST_EVENT_RATE = 30e6
+
+
+def offload_events_to_device(n_events: int, bytes_per_event: float) -> bool:
+    """Adaptive offload policy for transfer-bound event batches.
+
+    MODKIT_TPU_OFFLOAD=always|never|auto (default auto): in auto mode the
+    device wins when its transfer time beats 2x the host counting time
+    (the 2x credits the host cores the offload frees for BAM decode).
+    """
+    mode = os.environ.get("MODKIT_TPU_OFFLOAD", "auto")
+    if mode == "always":
+        return True
+    if mode == "never":
+        return False
+    host_rate = float(
+        os.environ.get("MODKIT_TPU_HOST_EVENT_RATE", _HOST_EVENT_RATE)
+    )
+    t_dev = n_events * (bytes_per_event + 1.0) / link_bandwidth_bytes_per_s()
+    t_host = n_events / host_rate
+    return t_dev < 2.0 * t_host
+
+
 def maybe_init_distributed() -> bool:
     """Initialize jax.distributed from MODKIT_TPU_COORD /
     MODKIT_TPU_NPROC / MODKIT_TPU_PROC_ID (multi-host DCN init); no-op and

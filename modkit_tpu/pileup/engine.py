@@ -168,6 +168,10 @@ class TileProcessor:
         self.n_used = 0
         self.n_skipped = 0
         self._dev_rr = 0  # round-robin tile -> device assignment
+        # guards counters when tiles launch from parallel host workers
+        import threading
+
+        self._stats_lock = threading.Lock()
 
     def _next_device(self):
         """Next local device for this tile's kernel dispatch (tiles-axis
@@ -180,8 +184,9 @@ class TileProcessor:
         devs = compute_devices()
         if len(devs) <= 1:
             return None
-        d = devs[self._dev_rr % len(devs)]
-        self._dev_rr += 1
+        with self._stats_lock:
+            d = devs[self._dev_rr % len(devs)]
+            self._dev_rr += 1
         return d
 
     def _events_for(self, rec, tid):
@@ -257,10 +262,11 @@ class TileProcessor:
                 focus_rule=focus_rule,
             )
             if res is not None:
-                self.n_used += res.n_used
-                self.n_skipped += res.n_skipped
-                for kind, n in res.errors.items():
-                    self.errors[kind] += n
+                with self._stats_lock:
+                    self.n_used += res.n_used
+                    self.n_skipped += res.n_skipped
+                    for kind, n in res.errors.items():
+                        self.errors[kind] += n
                 if res.n_used + res.n_skipped == 0 and res.n_events == 0:
                     return None
                 return self._dispatch_native_tile(
@@ -386,7 +392,14 @@ class TileProcessor:
             base_idx = np.concatenate(base_l).astype(np.int32)
             probs = np.concatenate(probs_l, axis=0)
             thr_mod, thr_can = self.caller.threshold_arrays(vocab or ["m"])
-            if self.opts.use_device:
+            offload = self.opts.use_device
+            if offload:
+                from ..parallel.devices import offload_events_to_device
+
+                offload = offload_events_to_device(
+                    len(rpos), 4.0 * probs.shape[1] + 12.0
+                )
+            if offload:
                 modc = dispatch_modcall_counts(
                     rpos, strand, base_idx, probs, thr_mod, thr_can, p_total,
                     device=self._next_device(),
@@ -467,7 +480,14 @@ class TileProcessor:
             thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
             thr_mod_p = thr_mod_p.astype(np.float32)
             thr_can = thr_can.astype(np.float32)
-            if self.opts.use_device:
+            offload = self.opts.use_device
+            if offload:
+                from ..parallel.devices import offload_events_to_device
+
+                # adaptive: counting is transfer-bound (~m_pad+3 B/event up,
+                # 1 B/event down); keep it host-side behind slow links
+                offload = offload_events_to_device(n, m_pad + 3)
+            if offload:
                 from ..ops.pileup_counts import device_putter
 
                 put = device_putter(self._next_device())
@@ -499,6 +519,13 @@ class TileProcessor:
                         put(thr_mod_p), put(thr_can),
                     )
                 states.copy_to_host_async()
+            elif self.opts.use_device:
+                # adaptive host path: same call semantics in one C++ pass
+                # (native mk_threshold_states); assemble_counts histograms
+                # the states exactly as it does device-computed ones
+                states = res.threshold_states_cpu(
+                    thr_mod_p.astype(np.float32), thr_can
+                )
             else:
                 rpos, strand, base_idx, probs = res.export_events()
                 modc = modcall_counts_numpy(

@@ -42,6 +42,7 @@ class PileupConfig:
     edge_filter: object = None
     force_allow: bool = False
     max_depth: int = 8000
+    threads: int = 4  # host launch workers (reference -t default)
     mixed_delimiters: bool = False
     with_header: bool = False
     bedgraph: bool = False
@@ -351,40 +352,76 @@ def run_pileup(cfg: PileupConfig) -> dict:
         "processing genome tiles:", suppress=cfg.suppress_progress
     )
 
-    # N-deep pipeline over the local devices: tile kernels dispatch
-    # round-robin across chips (TileProcessor._next_device) and up to one
-    # tile per device stays in flight, so all devices compute while the
-    # host decodes the next tile; results materialize in FIFO launch order
-    # so output stays genome-ordered (the TPU analog of the reference's
-    # rayon fan-out + ordered channel, pileup/subcommand.rs:714-799)
+    # Pipelined execution (the TPU analog of the reference's rayon fan-out
+    # + ordered channel, pileup/subcommand.rs:714-799):
+    #   - tile LAUNCHES (BGZF fetch + native decode + async device
+    #     dispatch) run on a small host worker pool, each worker with its
+    #     own BamReader, so host decode of upcoming tiles overlaps device
+    #     compute and row emission;
+    #   - kernels round-robin across local devices
+    #     (TileProcessor._next_device);
+    #   - FINISHES pop in FIFO launch order on this thread, keeping the
+    #     output genome-ordered.
+    import threading
     from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
 
-    n_inflight = 1
+    n_devices = 1
     if cfg.use_device:
         from ..parallel.devices import compute_devices
 
-        n_inflight = max(1, len(compute_devices()))
+        n_devices = max(1, len(compute_devices()))
+    # parallel launches need thread-safe tile state: the native decode path
+    # qualifies; the Python event path (partition tags / no native lib)
+    # shares a per-contig read cache and stays single-launcher
+    from .. import native as _native
+
+    parallel_ok = _native.available() and not cfg.partition_tags
+    n_workers = (
+        max(1, min(cfg.threads, os.cpu_count() or 1)) if parallel_ok else 1
+    )
+    n_inflight = n_devices + n_workers
+
+    tls = threading.local()
+
+    def tile_reader() -> BamReader:
+        r = getattr(tls, "reader", None)
+        if r is None:
+            r = tls.reader = BamReader(cfg.in_bam)
+        return r
+
+    def launch(tile):
+        tid, chrom, start, end, focus = tile
+        if focus is not None and not (focus.rule >= 0).any():
+            return None
+        return proc.launch_tile(tile_reader(), tid, start, end, focus)
+
     def finish_one(item):
-        finish_and_write(item)
+        meta, fut = item
+        chrom, tid, start, end = meta
+        finish_and_write((chrom, tid, start, end, fut.result()))
         if shard_mode:
             writer.write_tile_sentinel()
 
+    pool = ThreadPoolExecutor(max_workers=n_workers)
     inflight: deque = deque()
-    for tile_idx, (tid, chrom, start, end, focus) in enumerate(iter_tiles()):
-        if pcount > 1 and tile_idx % pcount != pidx:
-            continue  # owned by another host
-        if focus is None or (focus.rule >= 0).any():
-            pend = proc.launch_tile(reader, tid, start, end, focus)
-        else:
-            pend = None
-        inflight.append((chrom, tid, start, end, pend))
-        if len(inflight) > n_inflight:
-            finish_one(inflight.popleft())
-            ticker.update(
-                rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped
+    try:
+        for tile_idx, tile in enumerate(iter_tiles()):
+            if pcount > 1 and tile_idx % pcount != pidx:
+                continue  # owned by another host
+            tid, chrom, start, end, _focus = tile
+            inflight.append(
+                ((chrom, tid, start, end), pool.submit(launch, tile))
             )
-    while inflight:
-        finish_one(inflight.popleft())
+            if len(inflight) > n_inflight:
+                finish_one(inflight.popleft())
+                ticker.update(
+                    rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped
+                )
+        while inflight:
+            finish_one(inflight.popleft())
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
     ticker.finish(rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped)
     writer.close()
     if shard_mode:

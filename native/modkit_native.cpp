@@ -1372,6 +1372,45 @@ void mk_bincount_states(const MkTileOut* out, const uint8_t* states,
   }
 }
 
+// Host-side threshold-call states over a decoded tile's events: the C++
+// mirror of ops/pileup_counts.threshold_states (semantics of
+// MultipleThresholdModCaller::call, threshold_mod_caller.rs:28) used by the
+// pure-CPU baseline engine (no device). thr_mod: [m, 4] f32 row-major;
+// thr_can: [4]. states_out: u8[n_events], 0 filtered / 1 canonical / 2+j.
+void mk_threshold_states(const MkTileOut* out, const float* thr_mod,
+                         const float* thr_can, uint8_t* states_out) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int64_t n = out->n_events;
+  int32_t m = out->m;
+  for (int64_t i = 0; i < n; ++i) {
+    const float* row = bufs->ev_probs.data() + i * m;
+    int b = bufs->ev_base[i];
+    float live_sum = 0.0f;
+    float best_p = -1.0f;
+    int best_j = -1;
+    for (int32_t j = 0; j < m; ++j) {
+      float p = row[j];
+      if (p < 0.0f) continue;
+      live_sum += p;
+      if (p >= thr_mod[j * 4 + b] && p >= best_p) {
+        best_p = p;  // >= keeps the LAST max (Rust Iterator::max)
+        best_j = j;
+      }
+    }
+    float canon = 1.0f - live_sum;
+    bool pass_can = canon >= thr_can[b];
+    uint8_t st;
+    if (pass_can && (best_j < 0 || canon >= best_p)) {
+      st = 1;
+    } else if (best_j >= 0) {
+      st = (uint8_t)(2 + best_j);
+    } else {
+      st = 0;
+    }
+    states_out[i] = st;
+  }
+}
+
 // ---------------------------------------------------------- row formatting
 // Fused FeatureVector::decode + BedMethylWriter row emission for the
 // no-focus pileup path (pileup/mod.rs:412 decode, writers.rs:94-156 row
