@@ -416,15 +416,23 @@ class BamReader:
             for ext in (".bai", ".csi"):
                 p = self.path + ext
                 if os.path.exists(p):
-                    if ext == ".bai":
-                        self._index = BaiIndex.from_path(p)
-                        break
-                    raise NotImplementedError("CSI index not supported yet")
+                    self._index = (
+                        BaiIndex.from_path(p)
+                        if ext == ".bai"
+                        else CsiIndex.from_path(p)
+                    )
+                    break
             else:
                 base, _ = os.path.splitext(self.path)
-                p = base + ".bai"
-                if os.path.exists(p):
-                    self._index = BaiIndex.from_path(p)
+                for ext in (".bai", ".csi"):
+                    p = base + ext
+                    if os.path.exists(p):
+                        self._index = (
+                            BaiIndex.from_path(p)
+                            if ext == ".bai"
+                            else CsiIndex.from_path(p)
+                        )
+                        break
                 else:
                     raise FileNotFoundError(f"no index for {self.path}")
         return self._index
@@ -621,6 +629,130 @@ class BaiIndex:
         )
 
 
+def reg2bins_csi(beg: int, end: int, min_shift: int, depth: int) -> list[int]:
+    """Bins overlapping [beg, end) for a CSI index's (min_shift, depth)."""
+    end -= 1
+    bins = []
+    level_offset = 0
+    shift = min_shift + 3 * depth
+    for level in range(depth + 1):
+        bins.extend(
+            range(level_offset + (beg >> shift), level_offset + (end >> shift) + 1)
+        )
+        level_offset = (level_offset << 3) + 1
+        shift -= 3
+    return bins
+
+
+def reg2bin_csi(beg: int, end: int, min_shift: int, depth: int) -> int:
+    end -= 1
+    level_start = ((1 << 3 * depth) - 1) // 7
+    shift = min_shift
+    while depth >= 0:
+        if beg >> shift == end >> shift:
+            return level_start + (beg >> shift)
+        level_start = (level_start - 1) >> 3
+        shift += 3
+        depth -= 1
+    return 0
+
+
+class CsiIndex:
+    """CSI (.csi) coordinate-sorted index (BGZF-compressed, generalized
+    binning with per-bin loffset instead of a linear index). Exposes the
+    BaiIndex interface so BamReader.fetch works unchanged
+    (command_utils.rs:212 — the reference gets CSI support via htslib)."""
+
+    def __init__(self, min_shift: int, depth: int, per_ref: list, n_no_coor: int):
+        self.min_shift = min_shift
+        self.depth = depth
+        self._per_ref = per_ref  # (bins: {id: (chunks, loffset)}, stats)
+        self.n_no_coor = n_no_coor
+        # pseudo-bin id = max_bin + 1 for this geometry
+        self._pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
+
+    @classmethod
+    def from_path(cls, path: str) -> "CsiIndex":
+        import gzip
+
+        with gzip.open(path, "rb") as fh:
+            data = fh.read()
+        if data[:4] != b"CSI\x01":
+            raise ValueError(f"{path}: bad CSI magic")
+        min_shift, depth, l_aux = struct.unpack_from("<iii", data, 4)
+        p = 16 + l_aux
+        (n_ref,) = struct.unpack_from("<i", data, p); p += 4
+        pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
+        per_ref = []
+        for _ in range(n_ref):
+            (n_bin,) = struct.unpack_from("<i", data, p); p += 4
+            bins = {}
+            stats = None
+            for _ in range(n_bin):
+                bin_id, loffset, n_chunk = struct.unpack_from("<IQi", data, p)
+                p += 16
+                chunks = np.frombuffer(
+                    data, dtype="<u8", count=2 * n_chunk, offset=p
+                )
+                p += 16 * n_chunk
+                if bin_id == pseudo and n_chunk == 2:
+                    stats = (int(chunks[2]), int(chunks[3]))
+                else:
+                    bins[bin_id] = (chunks.reshape(-1, 2), int(loffset))
+            per_ref.append((bins, stats))
+        n_no_coor = 0
+        if p + 8 <= len(data):
+            (n_no_coor,) = struct.unpack_from("<Q", data, p)
+        return cls(min_shift, depth, per_ref, int(n_no_coor))
+
+    def counts(self, tid: int) -> tuple[int, int]:
+        stats = self._per_ref[tid][1]
+        return stats if stats is not None else (0, 0)
+
+    def query(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
+        bins, _ = self._per_ref[tid]
+        # loffset of the smallest bin containing beg bounds the search
+        # (the CSI replacement for the BAI linear index)
+        min_off = 0
+        b = reg2bin_csi(beg, beg + 1, self.min_shift, self.depth)
+        while b:
+            if b in bins:
+                min_off = bins[b][1]
+                break
+            b = (b - 1) >> 3
+        chunks = []
+        for b in reg2bins_csi(beg, end, self.min_shift, self.depth):
+            entry = bins.get(b)
+            if entry is not None:
+                for cbeg, cend in entry[0]:
+                    if cend > min_off:
+                        chunks.append((max(int(cbeg), min_off), int(cend)))
+        if not chunks:
+            return []
+        chunks.sort()
+        merged = [chunks[0]]
+        for cbeg, cend in chunks[1:]:
+            if cbeg <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], cend))
+            else:
+                merged.append((cbeg, cend))
+        return merged
+
+    def first_unmapped_voffset(self) -> int | None:
+        best = 0
+        for bins, _ in self._per_ref:
+            for arr, _lo in bins.values():
+                if len(arr):
+                    best = max(best, int(arr[:, 1].max()))
+        return best or None
+
+    def any_mapped_reads(self) -> bool:
+        return any(
+            (stats is not None and stats[0] > 0) or bins
+            for bins, stats in self._per_ref
+        )
+
+
 def reg2bin(beg: int, end: int) -> int:
     """Standard BAM bin for [beg, end)."""
     end -= 1
@@ -729,6 +861,90 @@ def build_bai(bam_path: str, out_path: str | None = None) -> str:
     out.append(struct.pack("<Q", n_no_coor))
     with open(out_path, "wb") as fh:
         fh.write(b"".join(out))
+    return out_path
+
+
+def build_csi(
+    bam_path: str,
+    out_path: str | None = None,
+    min_shift: int = 14,
+    depth: int = 5,
+) -> str:
+    """Build a .csi index (samtools index -c equivalent): generalized
+    binning, per-bin loffset, BGZF-compressed container."""
+    out_path = out_path or bam_path + ".csi"
+    reader = BamReader(bam_path)
+    n_ref = len(reader.header.refs)
+    bins: list[dict] = [dict() for _ in range(n_ref)]
+    loffsets: list[dict] = [dict() for _ in range(n_ref)]
+    stats = [[0, 0] for _ in range(n_ref)]
+    ref_span: list[list] = [[None, None] for _ in range(n_ref)]
+    n_no_coor = 0
+    pseudo = ((1 << 3 * (depth + 1)) - 1) // 7 + 1
+
+    bg = reader._bgzf
+    bg.seek_voffset(reader._body_voffset)
+    while not bg.at_eof():
+        v_start = bg.tell_voffset()
+        head = bg.read(4)
+        if len(head) < 4:
+            break
+        (block_size,) = struct.unpack("<i", head)
+        buf = bg.read(block_size)
+        v_end = bg.tell_voffset()
+        rec = BamRecord(buf)
+        if rec.ref_id < 0:
+            n_no_coor += 1
+            continue
+        tid = rec.ref_id
+        if rec.is_unmapped:
+            stats[tid][1] += 1
+            beg, end = rec.pos, rec.pos + 1
+        else:
+            stats[tid][0] += 1
+            beg = rec.pos
+            end = max(rec.reference_end(), beg + 1)
+        b = reg2bin_csi(beg, end, min_shift, depth)
+        bins[tid].setdefault(b, []).append((v_start, v_end))
+        cur = loffsets[tid].get(b)
+        if cur is None or v_start < cur:
+            loffsets[tid][b] = v_start
+        sp = ref_span[tid]
+        sp[0] = v_start if sp[0] is None else min(sp[0], v_start)
+        sp[1] = v_end if sp[1] is None else max(sp[1], v_end)
+
+    out = [
+        b"CSI\x01",
+        struct.pack("<iii", min_shift, depth, 0),
+        struct.pack("<i", n_ref),
+    ]
+    for tid in range(n_ref):
+        tid_bins = {}
+        for b, chunks in bins[tid].items():
+            chunks.sort()
+            merged = [list(chunks[0])]
+            for s, e in chunks[1:]:
+                if s <= merged[-1][1]:
+                    merged[-1][1] = max(merged[-1][1], e)
+                else:
+                    merged.append([s, e])
+            tid_bins[b] = merged
+        n_bin = len(tid_bins) + (1 if ref_span[tid][0] is not None else 0)
+        out.append(struct.pack("<i", n_bin))
+        for b in sorted(tid_bins):
+            merged = tid_bins[b]
+            out.append(struct.pack("<IQi", b, loffsets[tid][b], len(merged)))
+            for s, e in merged:
+                out.append(struct.pack("<QQ", s, e))
+        if ref_span[tid][0] is not None:
+            out.append(struct.pack("<IQi", pseudo, 0, 2))
+            out.append(struct.pack("<QQ", ref_span[tid][0], ref_span[tid][1]))
+            out.append(struct.pack("<QQ", stats[tid][0], stats[tid][1]))
+    out.append(struct.pack("<Q", n_no_coor))
+    from .bgzf import BgzfWriter
+
+    with BgzfWriter(out_path) as bgw:
+        bgw.write(b"".join(out))
     return out_path
 
 
