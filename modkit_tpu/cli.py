@@ -819,12 +819,14 @@ def _print_errors(stats: dict) -> None:
 
 def _sample_common(args):
     from .collapse import CollapseMethod
-    from .io.bam import BamReader
+    from .io.cram import open_alignment_reader
     from .modcodes import parse_mod_code
     from .position_filter import StrandedPositionFilter
     from .thresholds import sample_reads
 
-    reader = BamReader(args.in_bam)
+    reader = open_alignment_reader(
+        args.in_bam, getattr(args, "reference_fasta", None)
+    )
     collapse = []
     if args.ignore:
         collapse.append(CollapseMethod("dist", (parse_mod_code(args.ignore),)))

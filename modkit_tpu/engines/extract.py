@@ -275,7 +275,9 @@ def run_extract(
     bgzf: bool = False,
     threads: int = 4,
 ) -> dict:
-    reader = BamReader(in_bam)
+    from ..io.cram import open_alignment_reader
+
+    reader = open_alignment_reader(in_bam, reference_fasta)
     ref_seqs = None
     if reference_fasta is not None:
         from ..io.fasta import FastaReader

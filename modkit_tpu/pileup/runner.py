@@ -114,7 +114,10 @@ def run_pileup(cfg: PileupConfig) -> dict:
 
     log = get_logger()
     cfg = resolve_preset(cfg)
-    reader = BamReader(cfg.in_bam)
+    from ..io.cram import open_alignment_reader
+
+    reader = open_alignment_reader(cfg.in_bam, cfg.reference_fasta)
+    is_cram_input = not isinstance(reader, BamReader)
     header = reader.header
 
     if cfg.combine_strands and not (cfg.cpg or cfg.motifs):
@@ -376,7 +379,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
     # shares a per-contig read cache and stays single-launcher
     from .. import native as _native
 
-    parallel_ok = _native.available() and not cfg.partition_tags
+    parallel_ok = (
+        _native.available() and not cfg.partition_tags and not is_cram_input
+    )
     n_workers = (
         max(1, min(cfg.threads, os.cpu_count() or 1)) if parallel_ok else 1
     )
@@ -384,7 +389,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
 
     tls = threading.local()
 
-    def tile_reader() -> BamReader:
+    def tile_reader():
+        if is_cram_input:
+            return reader  # records decode once, then read-only
         r = getattr(tls, "reader", None)
         if r is None:
             r = tls.reader = BamReader(cfg.in_bam)

@@ -292,7 +292,11 @@ def sample_reads(
             quota = quotas.get(tid, 0) if quotas is not None else None
             if quota == 0 and quotas is not None:
                 continue  # pruned by the schedule
-            contig_len = reader.header.refs[tid].length
+            # the proportional denominator is the span being sampled (the
+            # full contig, or the --region slice: the reference feeder
+            # passes the region's total_interval_length,
+            # sampling_schedule.rs:418-431)
+            contig_len = end - start
             # interval fan-out with proportional per-interval draws
             # (sampling_schedule.rs:440 accumulate_sample_counts): each
             # interval draws ceil(quota * len/contig_len) reads, and

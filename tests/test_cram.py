@@ -1,0 +1,123 @@
+"""From-scratch CRAM 3.0 reader (io/cram.py): record-level parity against
+the same reads in BAM form, and pileup/extract byte-parity against the
+reference goldens when fed the .cram fixtures (the reference reads CRAM
+via htslib, command_utils.rs:212)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from modkit_tpu.io.bam import BamReader
+from modkit_tpu.io.cram import CramReader, open_alignment_reader
+from modkit_tpu.pileup.runner import PileupConfig, run_pileup
+
+CRAM = "bc_anchored_10_reads.sorted.cram"
+BAM = "bc_anchored_10_reads.sorted.bam"
+REF = "CGI_ladder_3.6kb_ref.fa"
+
+
+def test_cram_records_match_bam(resources):
+    cr = CramReader(
+        os.path.join(resources, CRAM), os.path.join(resources, REF)
+    )
+    br = BamReader(os.path.join(resources, BAM))
+    crecs = list(cr.records())
+    brecs = list(br.records())
+    assert len(crecs) == len(brecs) == 10
+    for c, b in zip(crecs, brecs):
+        assert c.name == b.name
+        assert c.flag == b.flag
+        assert c.ref_id == b.ref_id
+        assert c.pos == b.pos
+        assert np.array_equal(c.cigar, b.cigar)
+        assert np.array_equal(c.seq_bytes(), b.seq_bytes())
+        assert np.array_equal(c.quals(), b.quals())
+        assert c.get_aux("MM") == b.get_aux("MM")
+        assert np.array_equal(c.get_aux("ML")[1], b.get_aux("ML")[1])
+        # regenerated tags
+        assert c.get_aux("NM") == b.get_aux("NM")
+        assert c.get_aux("MD") == b.get_aux("MD")
+        assert c.get_aux("RG") == b.get_aux("RG")
+
+
+def test_cram_unmapped_records(resources):
+    cr = CramReader(
+        os.path.join(resources, "bc_anchored_10_reads_unmapped.cram"),
+        os.path.join(resources, REF),
+    )
+    br = BamReader(
+        os.path.join(resources, "bc_anchored_10_reads.unmapped.bam")
+    )
+    by_name = {b.name: b for b in br.records()}
+    crecs = list(cr.records())
+    assert len(crecs) == 10
+    for c in crecs:
+        b = by_name[c.name]
+        assert c.flag == b.flag and c.is_unmapped
+        assert np.array_equal(c.seq_bytes(), b.seq_bytes())
+        assert np.array_equal(c.quals(), b.quals())
+        assert c.get_aux("MM") == b.get_aux("MM")
+
+
+def test_pileup_from_cram_matches_golden(resources, tmp_path):
+    out = str(tmp_path / "cram.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, CRAM),
+            out=out,
+            no_filtering=True,
+            reference_fasta=os.path.join(resources, REF),
+        )
+    )
+    golden = open(
+        os.path.join(resources, "modbam.modpileup_nofilt.methyl.bed")
+    ).read()
+    assert open(out).read() == golden
+
+
+def test_pileup_from_cram_estimated_thresholds(resources, tmp_path):
+    out = str(tmp_path / "cram_filt.bed")
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(resources, CRAM),
+            out=out,
+            sample_frac=1.0,
+            filter_percentile=0.25,
+            include_unmapped=True,
+            reference_fasta=os.path.join(resources, REF),
+        )
+    )
+    golden = open(
+        os.path.join(resources, "modbam.modpileup_filt025.methyl.bed")
+    ).read()
+    assert open(out).read() == golden
+
+
+def test_extract_from_cram_matches_bam(resources, tmp_path):
+    from modkit_tpu.engines.extract import run_extract
+
+    ref = os.path.join(resources, REF)
+    a = str(tmp_path / "from_cram.tsv")
+    b = str(tmp_path / "from_bam.tsv")
+    run_extract(os.path.join(resources, CRAM), a, reference_fasta=ref)
+    run_extract(os.path.join(resources, BAM), b, reference_fasta=ref)
+    assert sorted(open(a).read().splitlines()) == sorted(
+        open(b).read().splitlines()
+    )
+
+
+def test_open_alignment_reader_dispatch(resources):
+    r1 = open_alignment_reader(os.path.join(resources, BAM))
+    r2 = open_alignment_reader(
+        os.path.join(resources, CRAM), os.path.join(resources, REF)
+    )
+    assert isinstance(r1, BamReader)
+    assert isinstance(r2, CramReader)
+
+
+def test_cram_requires_reference_error(resources, tmp_path, monkeypatch):
+    monkeypatch.delenv("MODKIT_REF_PATH", raising=False)
+    cr = CramReader(os.path.join(resources, CRAM))
+    with pytest.raises(ValueError, match="reference"):
+        list(cr.records())

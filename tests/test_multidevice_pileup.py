@@ -75,9 +75,14 @@ def test_estimated_threshold_pileup_1_vs_8_devices(
     assert texts[8] == golden
 
 
-def test_tiles_actually_land_on_multiple_devices(tmp_path, device_cap):
+def test_tiles_actually_land_on_multiple_devices(
+    tmp_path, device_cap, monkeypatch
+):
     from modkit_tpu.utils.synth import make_synthetic_modbam
 
+    # force the offload so device placement is observable regardless of
+    # the adaptive policy's bandwidth probe
+    monkeypatch.setenv("MODKIT_TPU_OFFLOAD", "always")
     bam = str(tmp_path / "multi.bam")
     make_synthetic_modbam(bam, n_reads=400, read_len=500, coverage=10.0)
     device_cap(8)
