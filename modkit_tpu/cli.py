@@ -733,9 +733,10 @@ def cmd_update_tags(args) -> int:
     from .engines.adjust import adjust_modbam
     from .modtags import EXPLICIT, IMPLICIT
 
-    if args.mode == "explicit":
+    # "ambiguous" is the clap alias of explicit '?' (commands.rs:1184-1188)
+    if args.mode in ("explicit", "ambiguous"):
         new_mode = EXPLICIT
-    elif args.mode in ("implicit", "ambiguous"):
+    elif args.mode == "implicit":
         new_mode = IMPLICIT
     elif args.no_implicit_probs:
         new_mode = EXPLICIT

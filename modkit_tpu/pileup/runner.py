@@ -70,11 +70,18 @@ class PileupConfig:
 
 
 def parse_region(region: str, header) -> tuple[int, int, int]:
-    """'chrom' or 'chrom:start-end' (1-based inclusive) -> (tid, start0, end)."""
+    """'chrom' or 'chrom:start-end' -> (tid, start, end).
+
+    The reference parses start/end as 0-based half-open (util.rs:475
+    parse_raw_with_start_and_end takes the numbers verbatim, requiring
+    end > start) — NOT the samtools 1-based convention.
+    """
     if ":" in region:
         chrom, rng = region.rsplit(":", 1)
         a, b = rng.replace(",", "").split("-")
-        start, end = int(a) - 1, int(b)
+        start, end = int(a), int(b)
+        if end <= start:
+            raise ValueError(f"invalid region {region!r}: end <= start")
     else:
         chrom, start, end = region, 0, None
     tid = header.name_to_tid.get(chrom)
