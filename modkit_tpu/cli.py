@@ -217,6 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--edge-filter", default=None)
         q.add_argument("--invert-edge-filter", action="store_true")
         q.add_argument("--no-headers", action="store_true")
+        q.add_argument("--include-bed", "--include-positions",
+                       dest="include_bed", default=None)
+        q.add_argument("-v", "--exclude-bed", dest="exclude_bed",
+                       default=None)
         q.add_argument("--bgzf", action="store_true",
                        help="compress output with parallel bgzf")
         q.add_argument("--queue-size", type=int, default=1000)
@@ -807,6 +811,7 @@ def cmd_extract(args) -> int:
         allow_non_primary=args.allow_non_primary,
         include_header=not args.no_headers,
         bgzf=args.bgzf, threads=args.threads,
+        include_bed=args.include_bed, exclude_bed=args.exclude_bed,
     )
     return 0
 

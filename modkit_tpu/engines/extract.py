@@ -152,7 +152,9 @@ class ReadProfile:
         return ref_pos, mod_strand_ch, ref_strand, ref_mod_strand, q, kmer, mod_primary
 
 
-def full_rows(profile: ReadProfile, ref_seqs: dict | None) -> list[str]:
+def full_rows(
+    profile: ReadProfile, ref_seqs: dict | None, keep=None
+) -> list[str]:
     rows = []
     chrom = profile.chrom or "."
     for qpos, base, strand, codes, prob_row, inferred in profile.entries:
@@ -161,6 +163,8 @@ def full_rows(profile: ReadProfile, ref_seqs: dict | None) -> list[str]:
         (ref_pos, mod_s, ref_s, ref_ms, q, kmer, mod_primary) = (
             profile.common_cols(qpos, strand, base)
         )
+        if keep is not None and not keep(ref_pos, ref_ms):
+            continue
         ref_kmer = "."
         if ref_seqs is not None and profile.chrom in ref_seqs and ref_pos >= 0:
             ref_kmer = kmer_at(
@@ -186,6 +190,7 @@ def calls_rows(
     ref_seqs: dict | None,
     pass_only: bool = False,
     skip_inferred: bool = False,
+    keep=None,
 ) -> list[str]:
     """One thresholded call per (position, mod strand, base)
     (read_ids_to_base_mod_probs.rs:1088 PositionModCalls::from_profile:
@@ -240,6 +245,8 @@ def calls_rows(
         (ref_pos, mod_s, ref_s, ref_ms, q, kmer, mod_primary) = (
             profile.common_cols(qpos, strand, base)
         )
+        if keep is not None and not keep(ref_pos, ref_ms):
+            continue
         ref_kmer = "."
         if ref_seqs is not None and profile.chrom in ref_seqs and ref_pos >= 0:
             ref_kmer = kmer_at(
@@ -274,6 +281,8 @@ def run_extract(
     include_header: bool = True,
     bgzf: bool = False,
     threads: int = 4,
+    include_bed: str | None = None,
+    exclude_bed: str | None = None,
 ) -> dict:
     from ..io.cram import open_alignment_reader
 
@@ -304,6 +313,45 @@ def run_extract(
             close = True
     else:
         fh = out
+    # --include-bed / --exclude-bed position masks on the reference mod
+    # strand (extract/util.rs:44 ReferencePositionFilter::keep); with an
+    # include mask, unaligned positions drop
+    include_filter = exclude_filter = None
+    if include_bed or exclude_bed:
+        from ..position_filter import StrandedPositionFilter
+
+        chrom_to_tid = dict(reader.header.name_to_tid)
+        if include_bed:
+            include_filter = StrandedPositionFilter.from_bed_file(
+                include_bed, chrom_to_tid
+            )
+        if exclude_bed:
+            exclude_filter = StrandedPositionFilter.from_bed_file(
+                exclude_bed, chrom_to_tid
+            )
+
+    def make_keep(rec):
+        if include_filter is None and exclude_filter is None:
+            return None
+        tid = rec.ref_id
+        include_unaligned = include_filter is None
+
+        def keep(ref_pos: int, ref_mod_strand: str) -> bool:
+            if ref_pos < 0 or tid < 0 or ref_mod_strand == ".":
+                return include_unaligned
+            s = 0 if ref_mod_strand == "+" else 1
+            if include_filter is not None and not bool(
+                include_filter.contains(tid, np.array([ref_pos]), s)[0]
+            ):
+                return False
+            if exclude_filter is not None and bool(
+                exclude_filter.contains(tid, np.array([ref_pos]), s)[0]
+            ):
+                return False
+            return True
+
+        return keep
+
     if include_header:
         fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
     n_reads = 0
@@ -330,11 +378,11 @@ def run_extract(
             errors.add(e)
             continue
         if mode == "full":
-            rows = full_rows(profile, ref_seqs)
+            rows = full_rows(profile, ref_seqs, keep=make_keep(rec))
         else:
             rows = calls_rows(
                 profile, caller or ThresholdCaller.passthrough(), ref_seqs,
-                pass_only,
+                pass_only, keep=make_keep(rec),
             )
         fh.writelines(rows)
         n_reads += 1
