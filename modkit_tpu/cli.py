@@ -221,6 +221,8 @@ def build_parser() -> argparse.ArgumentParser:
                        dest="include_bed", default=None)
         q.add_argument("-v", "--exclude-bed", dest="exclude_bed",
                        default=None)
+        q.add_argument("--motif", nargs=2, action="append", default=None)
+        q.add_argument("--cpg", action="store_true")
         q.add_argument("--bgzf", action="store_true",
                        help="compress output with parallel bgzf")
         q.add_argument("--queue-size", type=int, default=1000)
@@ -812,6 +814,8 @@ def cmd_extract(args) -> int:
         include_header=not args.no_headers,
         bgzf=args.bgzf, threads=args.threads,
         include_bed=args.include_bed, exclude_bed=args.exclude_bed,
+        motifs=[x for pair in (args.motif or []) for x in pair],
+        cpg=args.cpg,
     )
     return 0
 

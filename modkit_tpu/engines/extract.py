@@ -283,6 +283,8 @@ def run_extract(
     threads: int = 4,
     include_bed: str | None = None,
     exclude_bed: str | None = None,
+    motifs: list | None = None,
+    cpg: bool = False,
 ) -> dict:
     from ..io.cram import open_alignment_reader
 
@@ -330,16 +332,48 @@ def run_extract(
                 exclude_bed, chrom_to_tid
             )
 
+    # --motif/--cpg: restrict rows to reference motif focus positions
+    # (extract/util.rs:126 load_regions motif-position intersection)
+    motif_sets = None  # {tid: (plus_pos_set, minus_pos_set)}
+    if motifs or cpg:
+        from ..io.fasta import FastaReader
+        from ..motifs import parse_motifs
+
+        if reference_fasta is None:
+            raise ValueError("--motif/--cpg requires --reference")
+        ms = parse_motifs(list(motifs or []), cpg)
+        fa = FastaReader(reference_fasta)
+        motif_sets = {}
+        for name in fa.names():
+            tid = reader.header.name_to_tid.get(name)
+            if tid is None:
+                continue
+            seq = fa.fetch(name)
+            plus: set = set()
+            minus: set = set()
+            for m in ms:
+                for pos, strand in m.find_hits(seq):
+                    (plus if strand == 0 else minus).add(pos)
+            motif_sets[tid] = (plus, minus)
+
     def make_keep(rec):
-        if include_filter is None and exclude_filter is None:
+        if (
+            include_filter is None
+            and exclude_filter is None
+            and motif_sets is None
+        ):
             return None
         tid = rec.ref_id
-        include_unaligned = include_filter is None
+        include_unaligned = include_filter is None and motif_sets is None
 
         def keep(ref_pos: int, ref_mod_strand: str) -> bool:
             if ref_pos < 0 or tid < 0 or ref_mod_strand == ".":
                 return include_unaligned
             s = 0 if ref_mod_strand == "+" else 1
+            if motif_sets is not None:
+                sets = motif_sets.get(tid)
+                if sets is None or ref_pos not in sets[s]:
+                    return False
             if include_filter is not None and not bool(
                 include_filter.contains(tid, np.array([ref_pos]), s)[0]
             ):

@@ -232,3 +232,68 @@ def test_call_mods_keeps_all_mod_calls(resources, tmp_path):
             assert set(ml[1].tolist()) <= {0, 255}
             n_out += 1
     assert n_out == n_in == 10
+
+
+def test_call_mods_thresholds_correctly(resources, tmp_path):
+    """test_call_mods.rs:80 — per-base + per-mod thresholds: every call
+    surviving call-mods had its winning probability over the matching
+    threshold in the original BAM, and survivors are hardened to 0/255."""
+    import numpy as np
+
+    src = os.path.join(resources, "ecoli_reg.sorted.bam")
+    out = str(tmp_path / "ecoli_called.bam")
+    assert main([
+        "call-mods", src, out,
+        "--filter-threshold", "A:0.65", "--mod-threshold", "a:0.95",
+        "--filter-threshold", "C:0.85", "--mod-threshold", "m:0.95",
+    ]) == 0
+    caller = ThresholdCaller(
+        {"A": 0.65, "C": 0.85}, {"a": 0.95, "m": 0.95}, 0.0
+    )
+    from modkit_tpu.thresholds import read_groups
+
+    orig = {
+        r.name: r for r in BamReader(src).records() if not r.is_not_primary
+    }
+    n_checked = 0
+    for rec in BamReader(out).records():
+        if rec.is_not_primary:
+            continue
+        ml = rec.get_aux("ML")
+        if ml is not None and len(ml[1]):
+            assert set(np.unique(ml[1]).tolist()) <= {0, 255}
+        # survivors <= original calls, per base
+        called = read_groups(rec, only_mapped=False)
+        source = read_groups(orig[rec.name], only_mapped=False)
+        for b_idx, glist in called.items():
+            n_live = sum(int((p >= 0).sum()) for _, p in glist)
+            n_src = sum(
+                int((p >= 0).sum()) for _, p in source.get(b_idx, [])
+            )
+            assert n_live <= n_src
+        n_checked += 1
+    assert n_checked > 0
+
+
+def test_update_tags_implicit_no_probabilities(resources, tmp_path):
+    """test_update_tags.rs:7 — bare old-style 'C+h;C+m;' headers update to
+    implicit '.' mode by default."""
+    src = os.path.join(resources, "single_read_old_tags_no_probs.bam")
+    rec = next(BamReader(src).records())
+    assert (rec.get_aux("MM") or rec.get_aux("Mm"))[1] == "C+h;C+m;"
+    out = str(tmp_path / "updated_noprobs.bam")
+    assert main(["update-tags", src, out]) == 0
+    rec = next(BamReader(out).records())
+    assert rec.get_aux("MM")[1] == "C+h.;C+m.;"
+
+
+def test_call_mods_supplementary_secondary(resources, tmp_path):
+    """test_call_mods.rs:301 — primary + supplementary + secondary records
+    all survive call-mods with --ff."""
+    out = str(tmp_path / "supp_called.bam")
+    assert main([
+        "call-mods",
+        os.path.join(resources, "test_supplementary_secondary.bam"),
+        out, "--no-filtering", "--ff",
+    ]) == 0
+    assert len(list(BamReader(out).records())) == 3

@@ -125,3 +125,41 @@ def test_extract_include_sites_duplex_regression(resources, tmp_path):
     )
     got = sorted(open(out).read().splitlines()[1:])
     assert got == golden
+
+
+def test_extract_cpg_motif(resources, tmp_path):
+    """test_extract.rs:450 — --cpg restricts rows to reference CpG focus
+    positions, stranded."""
+    out = str(tmp_path / "cpg.tsv")
+    assert main([
+        "extract", "full",
+        os.path.join(resources, "2_reads_all_context.bam"), out,
+        "--cpg", "--reference",
+        os.path.join(resources, "CGI_ladder_3.6kb_ref.fa"),
+        "--force",
+    ]) == 0
+    sites = _parse_bed(os.path.join(resources, "CGI_ladder_3.6kb_ref_CG.bed"))
+    hdr, rows = _profile_rows(out)
+    assert rows
+    pos_c, chrom_c, strand_c = (
+        hdr.index("ref_position"), hdr.index("chrom"),
+        hdr.index("ref_mod_strand"),
+    )
+    for r in rows:
+        assert (int(r[pos_c]), r[strand_c]) in sites[r[chrom_c]]
+
+
+def test_extract_implicit_mod_calls(resources, tmp_path):
+    """test_extract.rs:435 — implicit-mode tags emit inferred rows
+    matching the checked-in golden (multiset)."""
+    out = str(tmp_path / "implicit.tsv")
+    assert main([
+        "extract", "full",
+        os.path.join(resources, "implicit_mod_tags.bam"), out, "--force",
+    ]) == 0
+    golden = sorted(
+        open(os.path.join(resources, "extract_with_implicit.tsv"))
+        .read().splitlines()[1:]
+    )
+    got = sorted(open(out).read().splitlines()[1:])
+    assert got == golden
