@@ -163,3 +163,52 @@ def test_extract_implicit_mod_calls(resources, tmp_path):
     )
     got = sorted(open(out).read().splitlines()[1:])
     assert got == golden
+
+
+def test_extract_region_correct_output(resources, tmp_path):
+    """test_extract.rs:556 — a region fetch decodes whole overlapping
+    reads, so a window covered by all reads reproduces the full ignore-h
+    profile (multiset)."""
+    out = str(tmp_path / "region.tsv")
+    assert main([
+        "extract", "full", os.path.join(resources, BAM), out,
+        "--ignore", "h", "-i", "10",
+        "--region", "oligo_1512_adapters:55-95", "--force",
+    ]) == 0
+    golden = sorted(
+        open(
+            os.path.join(
+                resources,
+                "bc_anchored_10_reads.sorted.methylprofile_ignoreh.tsv",
+            )
+        ).read().splitlines()[1:]
+    )
+    got = sorted(open(out).read().splitlines()[1:])
+    assert got == golden
+
+
+def test_extract_unmapped_bam_correct_output(resources, tmp_path):
+    """test_extract.rs:349 — extracting the unmapped twin of the anchored
+    reads yields the same per-read forward positions."""
+    mapped = str(tmp_path / "mapped.tsv")
+    unmapped = str(tmp_path / "unmapped.tsv")
+    assert main([
+        "extract", "full",
+        os.path.join(resources, "bc_anchored_10_reads.unmapped.bam"),
+        unmapped, "-i", "25", "--force",
+    ]) == 0
+    assert main([
+        "extract", "full", os.path.join(resources, BAM), mapped,
+        "-i", "25", "--force",
+    ]) == 0
+
+    def qpos_by_read(path):
+        hdr, rows = _profile_rows(path)
+        rc, qc = hdr.index("read_id"), hdr.index("forward_read_position")
+        out = {}
+        for r in rows:
+            out.setdefault(r[rc], []).append(int(r[qc]))
+        return {k: sorted(v) for k, v in out.items()}
+
+    a, b = qpos_by_read(mapped), qpos_by_read(unmapped)
+    assert a and a == b
