@@ -632,6 +632,7 @@ def cmd_pileup(args) -> int:
         journal=args.journal,
         suppress_progress=args.suppress_progress,
         threads=args.threads,
+        chunk_size=args.chunk_size,
     )
     stats = run_pileup(cfg)
     if stats["errors"]:

@@ -484,9 +484,15 @@ class BamReader:
         return out
 
     def fetch_unmapped(self):
-        """Yield unmapped-unplaced records from the tail of the file."""
+        """Yield unmapped-unplaced records from the tail of the file.
+
+        The seek shortcut (start scanning past the last mapped chunk)
+        assumes coordinate sorting, which puts unmapped-unplaced records
+        last; when the header does not declare SO:coordinate, fall back to
+        a full scan so no unmapped record can be missed."""
         voff = self.index.first_unmapped_voffset()
-        if voff is None:
+        coord_sorted = "SO:coordinate" in self.header.text.split("\n", 1)[0]
+        if voff is None or not coord_sorted:
             # fall back: scan everything
             for rec in self.records():
                 if rec.ref_id < 0:

@@ -43,6 +43,9 @@ class PileupConfig:
     force_allow: bool = False
     max_depth: int = 8000
     threads: int = 4  # host launch workers (reference -t default)
+    # tiles in flight; default 1.5x threads like the reference
+    # (command_utils.rs:279 calculate_chunk_size)
+    chunk_size: int | None = None
     mixed_delimiters: bool = False
     with_header: bool = False
     bedgraph: bool = False
@@ -392,7 +395,13 @@ def run_pileup(cfg: PileupConfig) -> dict:
     n_workers = (
         max(1, min(cfg.threads, os.cpu_count() or 1)) if parallel_ok else 1
     )
-    n_inflight = n_devices + n_workers
+    # tiles in flight: --chunk-size, else 1.5x threads like the reference
+    # (command_utils.rs:279 calculate_chunk_size), floored at one per
+    # device + one per launch worker
+    n_inflight = max(
+        cfg.chunk_size if cfg.chunk_size else int(cfg.threads * 1.5),
+        n_devices + n_workers,
+    )
 
     tls = threading.local()
 
@@ -417,6 +426,16 @@ def run_pileup(cfg: PileupConfig) -> dict:
         if shard_mode:
             writer.write_tile_sentinel()
 
+    # observability: MODKIT_TPU_PROFILE=<dir> captures a jax.profiler
+    # trace of the tile loop (device kernels + host gaps), viewable in
+    # TensorBoard/perfetto (SURVEY §5: replaces the reference's indicatif
+    # timing with structured device traces)
+    profile_dir = os.environ.get("MODKIT_TPU_PROFILE")
+    if profile_dir and cfg.use_device:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+
     pool = ThreadPoolExecutor(max_workers=n_workers)
     inflight: deque = deque()
     try:
@@ -436,6 +455,11 @@ def run_pileup(cfg: PileupConfig) -> dict:
             finish_one(inflight.popleft())
     finally:
         pool.shutdown(wait=False, cancel_futures=True)
+        if profile_dir and cfg.use_device:
+            import jax
+
+            jax.profiler.stop_trace()
+            log.info("wrote jax profiler trace to %s", profile_dir)
     ticker.finish(rows=n_rows, reads=proc.n_used, skipped=proc.n_skipped)
     writer.close()
     if shard_mode:
