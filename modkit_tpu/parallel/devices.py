@@ -99,20 +99,35 @@ def offload_events_to_device(n_events: int, bytes_per_event: float) -> bool:
 def maybe_init_distributed() -> bool:
     """Initialize jax.distributed from MODKIT_TPU_COORD /
     MODKIT_TPU_NPROC / MODKIT_TPU_PROC_ID (multi-host DCN init); no-op and
-    False when unset. Idempotent."""
+    False when unset. Idempotent: a repeat call is tolerated, but any other
+    init failure (bad coordinator, port clash, rank mismatch) is FATAL —
+    silently degrading to single-process would produce a partial-genome
+    shard named like the final output."""
     coord = os.environ.get("MODKIT_TPU_COORD")
     if not coord:
         return False
     import jax
 
+    kwargs = {}
+    timeout = os.environ.get("MODKIT_TPU_INIT_TIMEOUT")
+    if timeout:
+        kwargs["initialization_timeout"] = int(timeout)
     try:
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["MODKIT_TPU_NPROC"]),
             process_id=int(os.environ["MODKIT_TPU_PROC_ID"]),
+            **kwargs,
         )
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise RuntimeError(
+                f"jax.distributed init failed (coordinator={coord}): {e}"
+            ) from e
+    except Exception as e:
+        raise RuntimeError(
+            f"jax.distributed init failed (coordinator={coord}): {e}"
+        ) from e
     return True
 
 
@@ -126,6 +141,35 @@ def shard_path(out: str, process_index: int) -> str:
     return f"{out}.shard{process_index:04d}"
 
 
+_TILE_SENTINEL = b"\x00TILE\x00"
+
+
+def _iter_tile_blocks(path: str, chunk_size: int = 1 << 20):
+    """Yield every tile block of a shard file in order, INCLUDING empty
+    blocks (a tile that emitted zero rows still wrote its sentinel, and the
+    round-robin zip in merge_shards relies on block index k == k-th owned
+    tile). Streams the file in chunks so WGS-scale shards never load whole
+    into memory."""
+    buf = bytearray()
+    with open(path, "rb") as fh:
+        while True:
+            chunk = fh.read(chunk_size)
+            if not chunk:
+                break
+            buf += chunk
+            while True:
+                i = buf.find(_TILE_SENTINEL)
+                if i < 0:
+                    break
+                yield bytes(buf[:i])
+                del buf[: i + len(_TILE_SENTINEL)]
+    # anything after the final sentinel is unterminated trailing data
+    # (shouldn't occur — every tile ends with a sentinel); emit it rather
+    # than drop rows silently
+    if buf:
+        yield bytes(buf)
+
+
 def merge_shards(out: str, n_processes: int, remove: bool = True) -> None:
     """Interleave per-process shards back into one genome-ordered ``out``.
 
@@ -133,24 +177,21 @@ def merge_shards(out: str, n_processes: int, remove: bool = True) -> None:
     to process k % P) and each process writes its tiles in order, ending
     every tile block — including empty ones — with a sentinel. Re-merging
     is therefore a round-robin zip of whole tile blocks, no sort needed.
+    Empty blocks are consumed (to keep the zip aligned) but write nothing.
     """
-    import itertools
-
-    readers = [
-        open(shard_path(out, i), "rb") for i in range(n_processes)
+    iters = [
+        _iter_tile_blocks(shard_path(out, i)) for i in range(n_processes)
     ]
-    # tile blocks are separated by b"\x00TILE\x00" sentinels written by the
-    # sharded runner; round-robin them back into genome order
-    blocks = []
-    for i, fh in enumerate(readers):
-        data = fh.read().split(b"\x00TILE\x00")
-        fh.close()
-        blocks.append([b for b in data if b])
+    _done = object()
     with open(out, "wb") as o:
-        for row in itertools.zip_longest(*blocks):
-            for b in row:
-                if b:
-                    o.write(b)
+        exhausted = [False] * n_processes
+        while not all(exhausted):
+            for i, it in enumerate(iters):
+                block = next(it, _done)
+                if block is _done:
+                    exhausted[i] = True
+                elif block:
+                    o.write(block)
     if remove:
         for i in range(n_processes):
             os.remove(shard_path(out, i))

@@ -248,8 +248,13 @@ def run_pileup(cfg: PileupConfig) -> dict:
         out_fh = open(cfg.out, "a")
         writer = BedMethylWriter(out_fh, cfg.mixed_delimiters, False)
     else:
+        # in shard mode only rank 0 writes the header (it lands inside
+        # rank 0's first tile block, i.e. at the top of the merged file);
+        # ranks >=1 emitting headers would embed them mid-file after merge
         writer = BedMethylWriter(
-            out_path, cfg.mixed_delimiters, cfg.with_header
+            out_path,
+            cfg.mixed_delimiters,
+            cfg.with_header and (not shard_mode or pidx == 0),
         )
 
     if cfg.region is not None:

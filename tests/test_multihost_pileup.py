@@ -1,0 +1,166 @@
+"""Multi-HOST pileup: N real processes + jax.distributed, byte-equality.
+
+The reference's multi-machine story is manual --region sharding plus an
+external merge (reference book/src/perf_considerations.md:3-9). Here that
+is a first-class path: each process owns tiles round-robin, writes a
+genome-ordered shard with tile sentinels, and rank 0 interleaves the
+shards back (parallel/devices.py merge_shards). These tests prove the
+path end-to-end with REAL separate processes on the CPU backend (the
+analog of "test multi-node without a cluster", SURVEY §4), including
+empty tiles (no-coverage contigs) which previously desynchronized the
+round-robin zip.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from modkit_tpu.parallel.devices import (
+    _TILE_SENTINEL, merge_shards, shard_path,
+)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_merge_shards_keeps_empty_tiles_aligned(tmp_path):
+    """Verdict repro: 2 processes, 6 tiles, tile 2 empty. Empty blocks
+    must be consumed (not dropped) so later tiles stay in genome order."""
+    out = str(tmp_path / "merged.bed")
+    # process 0 owns tiles 0,2,4; process 1 owns tiles 1,3,5; tile 2 empty
+    shards = {
+        0: [b"tile0\n", b"", b"tile4\n"],
+        1: [b"tile1\n", b"tile3\n", b"tile5\n"],
+    }
+    for pidx, blocks in shards.items():
+        with open(shard_path(out, pidx), "wb") as fh:
+            for b in blocks:
+                fh.write(b + _TILE_SENTINEL)
+    merge_shards(out, 2)
+    got = open(out, "rb").read()
+    assert got == b"tile0\ntile1\ntile3\ntile4\ntile5\n"
+    assert not os.path.exists(shard_path(out, 0))
+
+
+def test_merge_shards_streaming_large_block(tmp_path):
+    """Blocks larger than the 1 MiB read chunk must survive intact."""
+    out = str(tmp_path / "merged.bed")
+    big = b"x" * (3 << 20) + b"\n"
+    with open(shard_path(out, 0), "wb") as fh:
+        fh.write(big + _TILE_SENTINEL + b"" + _TILE_SENTINEL)
+    with open(shard_path(out, 1), "wb") as fh:
+        fh.write(b"middle\n" + _TILE_SENTINEL + b"tail\n" + _TILE_SENTINEL)
+    merge_shards(out, 2)
+    assert open(out, "rb").read() == big + b"middle\n" + b"tail\n"
+
+
+_DRIVER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, {repo!r})
+from modkit_tpu.pileup.runner import PileupConfig, run_pileup
+run_pileup(PileupConfig(
+    in_bam={bam!r},
+    out={out!r},
+    interval_size=50,
+    no_filtering=True,
+    with_header=True,
+    suppress_progress=True,
+    threads=2,
+))
+"""
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.parametrize("nproc", [2, 3])
+def test_multihost_pileup_byte_equal(tmp_path, resources, nproc):
+    bam = os.path.join(resources, "bc_anchored_10_reads.sorted.bam")
+    driver = tmp_path / "driver.py"
+    port = _free_port()
+
+    def run(nproc_env, pidx, out):
+        driver.write_text(
+            _DRIVER.format(repo=REPO, bam=bam, out=str(out))
+        )
+        env = dict(os.environ)
+        env.pop("MODKIT_TPU_DEVICES", None)
+        if nproc_env > 1:
+            env["MODKIT_TPU_COORD"] = f"localhost:{port}"
+            env["MODKIT_TPU_NPROC"] = str(nproc_env)
+            env["MODKIT_TPU_PROC_ID"] = str(pidx)
+        else:
+            env.pop("MODKIT_TPU_COORD", None)
+        return subprocess.Popen(
+            [sys.executable, str(driver)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    single_out = tmp_path / "single.bed"
+    p = run(1, 0, single_out)
+    _, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()
+
+    multi_out = tmp_path / "multi.bed"
+    procs = [run(nproc, i, multi_out) for i in range(nproc)]
+    errs = []
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        errs.append(err.decode())
+        assert p.returncode == 0, errs[-1]
+
+    single = single_out.read_bytes()
+    multi = multi_out.read_bytes()
+    assert multi == single
+    # exactly one header line, at the top
+    assert single.count(b"chrom\t") == 1 or single.startswith(b"chrom")
+    # shards removed after merge
+    for i in range(nproc):
+        assert not os.path.exists(shard_path(str(multi_out), i))
+
+
+def test_init_distributed_fails_loudly(tmp_path):
+    """A genuine init failure must raise, not silently degrade to a
+    single-process run that writes a partial-genome shard."""
+    script = tmp_path / "bad_init.py"
+    script.write_text(
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "from modkit_tpu.parallel.devices import maybe_init_distributed\n"
+        "maybe_init_distributed()\n"
+    )
+    env = dict(os.environ)
+    # unroutable coordinator: init must time out / error, and that error
+    # must propagate
+    env["MODKIT_TPU_COORD"] = "localhost:1"
+    env["MODKIT_TPU_NPROC"] = "2"
+    env["MODKIT_TPU_PROC_ID"] = "1"
+    env["MODKIT_TPU_INIT_TIMEOUT"] = "5"
+    p = subprocess.run(
+        [sys.executable, str(script)],
+        env=env,
+        capture_output=True,
+        timeout=180,
+    )
+    assert p.returncode != 0
+    # either our Python wrapper fires, or JAX's C++ coordination client
+    # hard-aborts the process — both are loud; what must NOT happen is a
+    # zero exit that silently degraded to single-process
+    assert (
+        b"jax.distributed init failed" in p.stderr
+        or b"DEADLINE_EXCEEDED" in p.stderr
+        or b"Terminating process" in p.stderr
+    )
