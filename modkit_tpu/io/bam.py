@@ -882,7 +882,12 @@ def build_csi(
     reader = BamReader(bam_path)
     n_ref = len(reader.header.refs)
     bins: list[dict] = [dict() for _ in range(n_ref)]
-    loffsets: list[dict] = [dict() for _ in range(n_ref)]
+    # linear window map painted over EVERY leaf window a record overlaps
+    # (mirrors build_bai/htslib): a record spanning a window boundary is
+    # assigned to a parent bin, so deriving loffset only from records
+    # assigned to a bin would miss overlapping records with earlier
+    # voffsets, and CsiIndex.query would clamp/drop their chunks
+    linear: list[dict] = [dict() for _ in range(n_ref)]
     stats = [[0, 0] for _ in range(n_ref)]
     ref_span: list[list] = [[None, None] for _ in range(n_ref)]
     n_no_coor = 0
@@ -912,13 +917,31 @@ def build_csi(
             end = max(rec.reference_end(), beg + 1)
         b = reg2bin_csi(beg, end, min_shift, depth)
         bins[tid].setdefault(b, []).append((v_start, v_end))
-        cur = loffsets[tid].get(b)
-        if cur is None or v_start < cur:
-            loffsets[tid][b] = v_start
+        for w in range(beg >> min_shift, ((end - 1) >> min_shift) + 1):
+            cur = linear[tid].get(w)
+            if cur is None or v_start < cur:
+                linear[tid][w] = v_start
         sp = ref_span[tid]
         sp[0] = v_start if sp[0] is None else min(sp[0], v_start)
         sp[1] = v_end if sp[1] is None else max(sp[1], v_end)
 
+    import bisect
+
+    level_firsts = [((1 << 3 * lv) - 1) // 7 for lv in range(depth + 1)]
+
+    def bin_loffset(tid: int, b: int) -> int:
+        """loffset of bin b = linear-index value at the leaf window covering
+        the bin's genomic start (htslib semantics), guaranteeing
+        loffset <= voffset of every record overlapping the bin."""
+        level = max(lv for lv, f in enumerate(level_firsts) if f <= b)
+        first_window = (b - level_firsts[level]) << (3 * (depth - level))
+        wins = sorted_wins[tid]
+        i = bisect.bisect_right(wins, first_window) - 1
+        # windows with no overlapping record inherit the previous painted
+        # window's offset (a valid lower bound in a coordinate-sorted BAM)
+        return linear[tid][wins[i]] if i >= 0 else 0
+
+    sorted_wins = [sorted(linear[tid]) for tid in range(n_ref)]
     out = [
         b"CSI\x01",
         struct.pack("<iii", min_shift, depth, 0),
@@ -939,7 +962,7 @@ def build_csi(
         out.append(struct.pack("<i", n_bin))
         for b in sorted(tid_bins):
             merged = tid_bins[b]
-            out.append(struct.pack("<IQi", b, loffsets[tid][b], len(merged)))
+            out.append(struct.pack("<IQi", b, bin_loffset(tid, b), len(merged)))
             for s, e in merged:
                 out.append(struct.pack("<QQ", s, e))
         if ref_span[tid][0] is not None:

@@ -393,8 +393,12 @@ class HuffmanReader:
         if len(alphabet) == 1:
             self.codes = None
             return
-        # canonical code assignment: sort by (length, symbol order)
-        order = sorted(range(len(alphabet)), key=lambda i: (lengths[i], i))
+        # canonical code assignment: the CRAM spec orders by
+        # (code length, SYMBOL VALUE) — an encoder may write the alphabet
+        # unsorted, so ordering by list index would decode wrong symbols
+        order = sorted(
+            range(len(alphabet)), key=lambda i: (lengths[i], alphabet[i])
+        )
         codes = {}
         code = 0
         prev_len = 0
@@ -592,7 +596,10 @@ class SliceDecoder:
         core = None
         external: dict[int, Cursor] = {}
         embedded_ref = None
-        for b in blocks[1:]:
+        # only THIS slice's n_blocks belong to it — scanning the rest of
+        # the container would let a later slice's CORE/EXTERNAL blocks
+        # overwrite this slice's streams (multi-slice containers)
+        for b in blocks[1 : 1 + self.n_blocks]:
             if b.content_type == CT_CORE:
                 core = BitReader(b.data)
             elif b.content_type == CT_EXTERNAL:

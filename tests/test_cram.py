@@ -121,3 +121,16 @@ def test_cram_requires_reference_error(resources, tmp_path, monkeypatch):
     cr = CramReader(os.path.join(resources, CRAM))
     with pytest.raises(ValueError, match="reference"):
         list(cr.records())
+
+
+def test_huffman_canonical_order_by_symbol_value():
+    """CRAM canonical Huffman assigns codes by (length, symbol VALUE);
+    an encoder may list the alphabet unsorted. alphabet=[5,3] lengths=[1,1]
+    must give 3 -> code 0 and 5 -> code 1, regardless of list order."""
+    from modkit_tpu.io.cram import BitReader, HuffmanReader
+
+    # bits: 0 then 1 -> symbols 3 then 5
+    core = BitReader(bytes([0b01000000]))
+    hr = HuffmanReader([5, 3], [1, 1], core)
+    assert hr.read_int() == 3
+    assert hr.read_int() == 5

@@ -68,3 +68,55 @@ def test_csi_large_contig_roundtrip(tmp_path):
         if not r.is_unmapped and r.pos < 20_000 and r.pos + 1000 > 5_000
     ]
     assert got == serial
+
+
+def test_csi_loffset_covers_window_spanning_reads(resources, tmp_path):
+    """Regression: a read spanning a leaf-window boundary is assigned to a
+    PARENT bin; the leaf bin's loffset must still be <= that read's
+    voffset or query() clamps away its chunk and fetches silently drop
+    overlapping reads. Exercised with min_shift=6 (64 bp windows) so the
+    fixture's reads straddle many windows; every windowed sub-fetch must
+    match the BAI reader exactly."""
+    name = "bc_anchored_10_reads.sorted.bam"
+    bam = str(tmp_path / name)
+    shutil.copy(os.path.join(resources, name), bam)
+    build_csi(bam, min_shift=6, depth=5)
+    bai_reader = BamReader(os.path.join(resources, name))
+    csi_reader = BamReader(bam)
+    assert type(csi_reader.index).__name__ == "CsiIndex"
+    for tid in range(len(bai_reader.header.refs)):
+        end = bai_reader.header.refs[tid].length
+        for s in range(0, end, 64):
+            e = min(s + 64, end)
+            a = [(r.name, r.pos) for r in bai_reader.fetch(tid, s, e)]
+            b = [(r.name, r.pos) for r in csi_reader.fetch(tid, s, e)]
+            assert a == b, (tid, s, e)
+
+
+def test_csi_loffset_window_spanning_read_repro(tmp_path):
+    """Direct repro: long read A (spans leaf windows, assigned to a parent
+    bin, earliest voffset) + short read B (leaf bin, later voffset). A
+    fetch starting in B's window must still return A — the old builder
+    set the leaf bin's loffset from B only, so query() clamped away A's
+    chunk entirely."""
+    import numpy as np
+
+    from modkit_tpu.io.bam import BamHeader, BamWriter, Reference
+    from modkit_tpu.utils.synth import _encode_record
+
+    path = str(tmp_path / "repro.bam")
+    header = BamHeader(
+        "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:c1\tLN:100000\n",
+        [Reference("c1", 100000)],
+    )
+    w = BamWriter(path, header)
+    w.write_raw(
+        _encode_record(b"readA", 0, 0, np.full(200, 65, np.uint8), "", np.zeros(0))
+    )
+    w.write_raw(
+        _encode_record(b"readB", 0, 100, np.full(10, 65, np.uint8), "", np.zeros(0))
+    )
+    w.close()
+    build_csi(path, min_shift=6, depth=5)
+    got = [r.name for r in BamReader(path).fetch(0, 100, 110)]
+    assert got == ["readA", "readB"], got
