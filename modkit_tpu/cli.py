@@ -167,6 +167,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--discard-motifs", action="store_true")
     p.add_argument("--ff", "--fail-fast", dest="fail_fast", action="store_true")
     p.add_argument("--filter-probs", action="store_true")
+    p.add_argument("--output-sam", action="store_true")
     _add_common_sampling(p)
     _add_threshold_args(p)
     _add_logging(p)
@@ -183,6 +184,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--invert-edge-filter", action="store_true")
     p.add_argument("--include-unmapped", action="store_true")
     p.add_argument("--ff", "--fail-fast", dest="fail_fast", action="store_true")
+    p.add_argument("--output-sam", action="store_true")
     p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
     p.add_argument("--filter-threshold", action="append", default=None)
     p.add_argument("--no-filtering", action="store_true")
@@ -196,6 +198,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("out_bam")
     p.add_argument("--mode", choices=["explicit", "implicit", "ambiguous"], default=None)
     p.add_argument("--no-implicit-probs", action="store_true")
+    p.add_argument("--output-sam", action="store_true")
     _add_logging(p)
     p.set_defaults(func=cmd_update_tags)
 
@@ -659,8 +662,11 @@ def cmd_adjust_mods(args) -> int:
                 )
             )
     elif args.ignore:
+        # --method selects the collapse math for --ignore: "dist"
+        # (ReDistribute, the reference's only behavior) or "norm"
+        # (ReNormalize, mod_bam.rs:306-323)
         methods.append(
-            CollapseMethod("dist", (parse_mod_code(args.ignore),))
+            CollapseMethod(args.method, (parse_mod_code(args.ignore),))
         )
     edge_filter = (
         parse_edge_filter(args.edge_filter, args.invert_edge_filter)
@@ -680,6 +686,11 @@ def cmd_adjust_mods(args) -> int:
         elif ft is not None:
             default = ft.pop("default", 0.0)
             caller = ThresholdCaller(ft, parse_mod_thresholds(getattr(args, "mod_thresholds", None)) or {}, default)
+        elif args.in_bam in ("-", "stdin"):
+            raise SystemExit(
+                "must specify all thresholds with --filter-threshold "
+                "when using stdin stream"
+            )
         else:
             from .io.bam import BamReader
             from .thresholds import estimate_thresholds
@@ -695,7 +706,7 @@ def cmd_adjust_mods(args) -> int:
         args.in_bam, args.out_bam, methods, caller, edge_filter,
         filter_only=True if args.filter_probs else False,
         motifs=motifs, discard_motifs=args.discard_motifs,
-        fail_fast=args.fail_fast,
+        fail_fast=args.fail_fast, output_sam=args.output_sam,
     )
     _print_errors(stats)
     return 0
@@ -714,6 +725,13 @@ def cmd_call_mods(args) -> int:
         default = ft.pop("default", 0.0)
         caller = ThresholdCaller(ft, per_mod, default)
     else:
+        if args.in_bam in ("-", "stdin"):
+            # sampling would consume the stream before the rewrite pass
+            # (reference commands.rs:1589-1593)
+            raise SystemExit(
+                "must specify all thresholds with --filter-threshold and "
+                "(optionally) --mod-threshold when using stdin stream"
+            )
         from .thresholds import estimate_thresholds
 
         per_base = estimate_thresholds(
@@ -731,6 +749,7 @@ def cmd_call_mods(args) -> int:
     stats = adjust_modbam(
         args.in_bam, args.out_bam, (), caller, edge_filter,
         filter_only=False, fail_fast=args.fail_fast,
+        output_sam=args.output_sam,
     )
     _print_errors(stats)
     return 0
@@ -756,6 +775,7 @@ def cmd_update_tags(args) -> int:
     stats = adjust_modbam(
         args.in_bam, args.out_bam, new_mode=new_mode,
         drop_implicit=args.no_implicit_probs, force_mm_style="MM",
+        output_sam=args.output_sam,
     )
     _print_errors(stats)
     return 0
@@ -817,6 +837,7 @@ def cmd_extract(args) -> int:
         include_bed=args.include_bed, exclude_bed=args.exclude_bed,
         motifs=[x for pair in (args.motif or []) for x in pair],
         cpg=args.cpg,
+        queue_size=args.queue_size,
     )
     return 0
 
@@ -891,6 +912,10 @@ def cmd_summary(args) -> int:
         per_base = thresholds_from_sampled(sampled, args.filter_percentile)
         caller = ThresholdCaller(per_base, per_mod, 0.0)
     s = summarize_sampled(sampled, caller, args.region)
+    # --table is the default rendering; it exists to be explicit and to
+    # conflict-check against --tsv (commands.rs ModSummarize args)
+    if args.tsv_format and args.table_format:
+        raise SystemExit("--tsv and --table are mutually exclusive")
     if args.tsv_format:
         sys.stdout.write(render_summary_tsv(s))
     else:

@@ -183,13 +183,28 @@ def adjust_modbam(
     drop_implicit: bool = False,
     force_mm_style: str | None = None,
     fail_fast: bool = False,
+    output_sam: bool = False,
 ) -> dict:
-    """Serial rewrite loop (adjust.rs:211 adjust_modbam)."""
+    """Serial rewrite loop (adjust.rs:211 adjust_modbam). Supports '-' as
+    stdin input and stdout output, and SAM text output (--output-sam), as
+    in the reference's get_serial_reader/get_bam_writer
+    (command_utils.rs:212-240)."""
+    import sys
+
     reader = BamReader(in_bam)
     errors = ErrorTally()
     seq_motifs = SequenceMotifs(motifs) if motifs else None
     n = 0
-    with BamWriter(out_bam, add_modkit_pg_records(reader.header)) as writer:
+    hdr = add_modkit_pg_records(reader.header)
+    if output_sam:
+        from ..io.bam import SamWriter
+
+        writer_cm = SamWriter(out_bam, hdr)
+    elif out_bam in ("-", "stdout"):
+        writer_cm = BamWriter(sys.stdout.buffer, hdr)
+    else:
+        writer_cm = BamWriter(out_bam, hdr)
+    with writer_cm as writer:
         for rec in reader.records():
             try:
                 raw = adjust_record_tags(

@@ -99,7 +99,7 @@ def run_stats(args) -> int:
     n_mod/n_valid/percent table."""
     import os
 
-    tbx = TabixFile(args.in_bedmethyl)
+    tbx = TabixFile(args.in_bedmethyl, io_threads=args.io_threads)
     regions = parse_genome_regions(args.regions, field_split="\t")
     regions = [r for r in regions if tbx.has_contig(r.chrom)]
     mod_codes = (
@@ -168,7 +168,7 @@ def run_localize(args) -> int:
     modification fraction table."""
     import os
 
-    tbx = TabixFile(args.in_bedmethyl)
+    tbx = TabixFile(args.in_bedmethyl, io_threads=args.io_threads)
     sizes = dict(read_sequence_lengths_file(args.genome_sizes))
     regions = parse_genome_regions(args.regions, field_split=None)
     window = args.window
@@ -183,12 +183,33 @@ def run_localize(args) -> int:
     if not focus:
         raise SystemExit("failed to find any valid regions")
 
-    # offsets[code][offset] = [n_mod, n_valid] (localise/util.rs:26-47)
-    offsets: dict = {}
-    for r in focus:
+    # offsets[code][offset] = [n_mod, n_valid] (localise/util.rs:26-47);
+    # per-region counts are an additive monoid, so regions fan out across
+    # --threads workers (the reference's rayon par_iter,
+    # localise/subcommand.rs:265) with thread-local tabix handles and the
+    # partials merge order-independently. NOTE: --batch-size is accepted
+    # for flag parity but, exactly like the reference (batch_size_bp is
+    # declared at subcommand.rs:101 and never read), it has no effect.
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
+    tls = threading.local()
+
+    def get_tbx():
+        t = getattr(tls, "tbx", None)
+        if t is None:
+            t = tls.tbx = TabixFile(
+                args.in_bedmethyl, io_threads=args.io_threads
+            )
+        return t
+
+    def region_counts(r) -> dict:
+        local: dict = {}
         anchor = r.midpoint()
         fetch_strand = args.stranded_features or r.strand
-        for bml in _fetch_lines(tbx, r.chrom, r.start, r.end, fetch_strand):
+        for bml in _fetch_lines(
+            get_tbx(), r.chrom, r.start, r.end, fetch_strand
+        ):
             if args.stranded is not None:
                 ov = _strand_overlaps(r.strand, bml.strand)
                 if args.stranded == "same" and not ov:
@@ -196,12 +217,28 @@ def run_localize(args) -> int:
                 if args.stranded == "opposite" and ov:
                     continue
             off = anchor - bml.start
-            code_map = offsets.setdefault(bml.raw_mod_code, {})
+            code_map = local.setdefault(bml.raw_mod_code, {})
             cur = code_map.get(off, (0, 0))
             code_map[off] = (
                 cur[0] + bml.count_methylated,
                 cur[1] + bml.valid_coverage,
             )
+        return local
+
+    offsets: dict = {}
+    n_workers = max(1, args.threads)
+    if n_workers > 1 and len(focus) > 1:
+        with ThreadPoolExecutor(n_workers) as ex:
+            partials = list(ex.map(region_counts, focus))
+    else:
+        tls.tbx = tbx
+        partials = [region_counts(r) for r in focus]
+    for local in partials:
+        for code, code_map in local.items():
+            dst = offsets.setdefault(code, {})
+            for off, (m, v) in code_map.items():
+                cur = dst.get(off, (0, 0))
+                dst[off] = (cur[0] + m, cur[1] + v)
 
     if args.out_file is None:
         out = sys.stdout
@@ -343,6 +380,9 @@ def run_tobigwig(args) -> int:
     if not include:
         raise SystemExit("must provide at least one modification code to use")
     sizes = dict(read_sequence_lengths_file(args.chromsizes))
+    # --inmemory is trivially honored: this writer always builds the
+    # BBI in memory (no temp-file mode exists); --nthreads drives parallel
+    # section compression (subcommands.rs:443,488)
     writer = BigWigWriter(
         str(args.out_fp),
         sizes,
@@ -351,6 +391,7 @@ def run_tobigwig(args) -> int:
         items_per_slot=args.items_per_slot,
         nzooms=args.nzooms,
         zooms=args.zooms,
+        threads=args.nthreads,
     )
     if args.in_bedmethyl in ("-", "stdin"):
         stream = sys.stdin
@@ -383,7 +424,7 @@ def run_merge(args) -> int:
     readers = []
     for p in args.in_bedmethyl:
         try:
-            readers.append(TabixFile(p))
+            readers.append(TabixFile(p, io_threads=args.io_threads))
         except (FileNotFoundError, ValueError):
             print(f"failed to open {p}", file=sys.stderr)
     if not readers:

@@ -125,8 +125,11 @@ class SampleIndex:
         paths: list[str],
         code_lookup: dict[ModCode, str],
         min_valid_coverage: int = 0,
+        io_threads: int | None = None,
     ):
-        self.handlers = [TabixFile(p) for p in paths]
+        self.handlers = [
+            TabixFile(p, io_threads=io_threads) for p in paths
+        ]
         self.code_lookup = code_lookup
         self.min_valid_coverage = min_valid_coverage
 
@@ -392,7 +395,8 @@ def run_pair(args) -> int:
             "modkit dmr multi"
         )
     sample_index = SampleIndex(
-        list(args.a) + list(args.b), code_lookup, args.min_valid_coverage
+        list(args.a) + list(args.b), code_lookup, args.min_valid_coverage,
+        io_threads=args.io_threads,
     )
     genome_positions = GenomePositions(
         list(args.base),
@@ -422,7 +426,8 @@ def run_pair(args) -> int:
             out,
             header=args.header,
             handle_missing=args.missing,
-            batch_size=max(1, int(args.threads * 1.5)),
+            batch_size=args.batch_size
+            or max(1, int(args.threads * 1.5)),
         )
     finally:
         if close:
@@ -454,7 +459,10 @@ def run_multi(args) -> int:
             continue
         names.setdefault(name, []).append(len(paths))
         paths.append(path)
-    sample_index = SampleIndex(paths, code_lookup, args.min_valid_coverage)
+    sample_index = SampleIndex(
+        paths, code_lookup, args.min_valid_coverage,
+        io_threads=args.io_threads,
+    )
     genome_positions = GenomePositions(
         list(args.base),
         args.ref,

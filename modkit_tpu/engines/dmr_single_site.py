@@ -386,7 +386,8 @@ def run_single_site(args, code_lookup) -> int:
     import os
 
     sample_index = SampleIndex(
-        list(args.a) + list(args.b), code_lookup, args.min_valid_coverage
+        list(args.a) + list(args.b), code_lookup, args.min_valid_coverage,
+        io_threads=args.io_threads,
     )
     a_idxs = list(range(len(args.a)))
     b_idxs = [i + len(args.a) for i in range(len(args.b))]

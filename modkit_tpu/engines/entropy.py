@@ -478,7 +478,10 @@ def _parse_bed3_regions(path: str):
 def run_entropy(args) -> int:
     import os
 
+    from ..logging import get_logger
     from ..motifs import parse_motifs
+
+    log = get_logger()
     from .dmr import SampleIndex  # noqa: F401  (unused; CLI symmetry)
 
     if args.num_positions < 1:
@@ -510,7 +513,11 @@ def run_entropy(args) -> int:
             "specify --cpg"
         )
 
-    readers = [BamReader(p) for p in args.in_bam]
+    # --io-threads: BGZF inflate workers per BAM (the reference's htslib
+    # tpool, entropy/subcommand.rs io_threads)
+    readers = [
+        BamReader(p, io_threads=args.io_threads) for p in args.in_bam
+    ]
     header = readers[0].header
     fasta = FastaReader(args.ref)
     fasta_names = set(fasta.names())
@@ -618,6 +625,10 @@ def run_entropy(args) -> int:
         for strand, start, end, res in rows:
             if isinstance(res, str):
                 n_failed += 1
+                if args.verbose:
+                    # --verbose-logging: debug-log each failed window with
+                    # its reason (entropy/writers.rs:49-80)
+                    log.debug("%s:%d-%d: %s", chrom, start, end, res)
                 continue
             entropy, num_reads = res
             if args.drop_zeros and entropy == np.float32(0.0):

@@ -285,6 +285,7 @@ def run_extract(
     exclude_bed: str | None = None,
     motifs: list | None = None,
     cpg: bool = False,
+    queue_size: int = 1000,
 ) -> dict:
     from ..io.cram import open_alignment_reader
 
@@ -396,30 +397,77 @@ def run_extract(
         records = reader.fetch(tid, start, end)
     else:
         records = reader.records()
-    # serial iteration visits each record exactly once; the reference's
-    # prev_end dedup exists only because its interval fan-out can fetch a
-    # record twice (extract/util.rs:329)
-    for rec in records:
-        if num_reads is not None and n_reads >= num_reads:
-            break
-        if not allow_non_primary and rec.is_not_primary:
-            continue
-        if mapped_only and rec.is_unmapped:
-            continue
+    # each record is visited exactly once; the reference's prev_end dedup
+    # exists only because its interval fan-out can fetch a record twice
+    # (extract/util.rs:329). Row generation runs on a worker pool with a
+    # bounded FIFO of in-flight records (the analog of the reference's
+    # bounded channel + queue gauge, extract/subcommand.rs:135 and
+    # util.rs:346-349 --queue-size); the writer drains in submit order so
+    # output stays record-ordered.
+    def produce(rec):
         try:
-            profile = ReadProfile(rec, reader.header, collapse, edge_filter, kmer_size)
-        except ModKitError as e:
-            errors.add(e)
-            continue
-        if mode == "full":
-            rows = full_rows(profile, ref_seqs, keep=make_keep(rec))
-        else:
-            rows = calls_rows(
-                profile, caller or ThresholdCaller.passthrough(), ref_seqs,
-                pass_only, keep=make_keep(rec),
+            profile = ReadProfile(
+                rec, reader.header, collapse, edge_filter, kmer_size
             )
-        fh.writelines(rows)
-        n_reads += 1
+        except ModKitError as e:
+            return e
+        if mode == "full":
+            return full_rows(profile, ref_seqs, keep=make_keep(rec))
+        return calls_rows(
+            profile, caller or ThresholdCaller.passthrough(), ref_seqs,
+            pass_only, keep=make_keep(rec),
+        )
+
+    def want(rec):
+        if not allow_non_primary and rec.is_not_primary:
+            return False
+        if mapped_only and rec.is_unmapped:
+            return False
+        return True
+
+    import os as _os
+
+    n_workers = max(1, min(threads, _os.cpu_count() or 1))
+    if n_workers > 1 and num_reads is None:
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(n_workers)
+        inflight: deque = deque()
+        n_inflight = max(queue_size, n_workers + 1)
+
+        def drain_one():
+            nonlocal n_reads
+            res = inflight.popleft().result()
+            if isinstance(res, ModKitError):
+                errors.add(res)
+            else:
+                fh.writelines(res)
+                n_reads += 1
+
+        try:
+            for rec in records:
+                if not want(rec):
+                    continue
+                inflight.append(pool.submit(produce, rec))
+                if len(inflight) > n_inflight:
+                    drain_one()
+            while inflight:
+                drain_one()
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
+    else:
+        for rec in records:
+            if num_reads is not None and n_reads >= num_reads:
+                break
+            if not want(rec):
+                continue
+            res = produce(rec)
+            if isinstance(res, ModKitError):
+                errors.add(res)
+                continue
+            fh.writelines(res)
+            n_reads += 1
     if close:
         fh.close()
     return dict(reads=n_reads, errors=dict(errors))

@@ -977,7 +977,7 @@ def _load_reference(path: str) -> dict[str, np.ndarray]:
     return out
 
 
-def _iter_bedmethyl(path: str, contig: str | None):
+def _iter_bedmethyl(path: str, contig: str | None, io_threads=None):
     """Plain-text or bgzf/tabix bedMethyl line iterator."""
     from ..io.bgzf import is_bgzf
 
@@ -985,7 +985,7 @@ def _iter_bedmethyl(path: str, contig: str | None):
         try:
             from ..io.tabix import TabixFile
 
-            tbx = TabixFile(path)
+            tbx = TabixFile(path, io_threads=io_threads)
             contigs = [contig] if contig else tbx.contigs
             for c in contigs:
                 for line in tbx.fetch(c, 0, 1 << 60):
@@ -1011,7 +1011,10 @@ def _iter_bedmethyl(path: str, contig: str | None):
 
 def _load_db(args, context, min_coverage, low_thresh, high_thresh) -> MotifDB:
     refs = _load_reference(args.ref)
-    lines = _iter_bedmethyl(args.in_bedmethyl, getattr(args, "contig", None))
+    lines = _iter_bedmethyl(
+        args.in_bedmethyl, getattr(args, "contig", None),
+        io_threads=getattr(args, "io_threads", None),
+    )
     return build_motif_db(
         refs, lines, context, min_coverage, low_thresh, high_thresh
     )
@@ -1244,10 +1247,24 @@ def run_motif_evaluate(args) -> int:
     if not known:
         raise SystemExit("failed to parse any motifs to evaluate")
     results = [score_motif(db, m) for m in known]
-    out = open(args.out, "w") if args.out else sys.stdout
-    try:
-        _write_scored_table(out, results)
-    finally:
-        if out is not sys.stdout:
-            out.close()
+    # --suppress-table: don't print the human-readable table; it must
+    # then have somewhere else to go (subcommand.rs:849-855,916-919)
+    if args.suppress_table and not (args.out or args.log_filepath):
+        raise SystemExit(
+            "must provide an file to output table or a log file if "
+            "suppressing human-readable table"
+        )
+    if args.out:
+        with open(args.out, "w") as out:
+            _write_scored_table(out, results)
+    if args.suppress_table:
+        import io as _io
+
+        from ..logging import get_logger
+
+        buf = _io.StringIO()
+        _write_scored_table(buf, results)
+        get_logger().debug("evaluated motifs:\n%s", buf.getvalue())
+    elif not args.out:
+        _write_scored_table(sys.stdout, results)
     return 0

@@ -181,7 +181,26 @@ def run_check_tags(args) -> int:
     reader = BamReader(args.in_bam)
     views = TagViews()
     n = 0
-    for rec in reader.records():
+    # indexed region fetch unless --ignore-index forces the linear scan
+    # (modbam_util/subcommands.rs:71,177 linear_scan = ignore_index || !index)
+    if args.region is not None:
+        from ..pileup.runner import parse_region
+
+        tid, start, end = parse_region(args.region, reader.header)
+        if reader.has_index() and not args.ignore_index:
+            records = reader.fetch(tid, start, end)
+        else:
+            records = (
+                r
+                for r in reader.records()
+                if r.ref_id == tid
+                and not r.is_unmapped
+                and r.pos < end
+                and r.reference_end() > start
+            )
+    else:
+        records = reader.records()
+    for rec in records:
         if args.only_mapped and rec.is_unmapped:
             continue
         if not args.allow_non_primary and rec.is_not_primary:

@@ -379,9 +379,9 @@ def add_modkit_pg_records(header: BamHeader) -> BamHeader:
 
 
 class BamReader:
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, io_threads: int | None = None):
         self.path = os.fspath(path)
-        self._bgzf = BgzfReader(self.path)
+        self._bgzf = BgzfReader(self.path, io_threads=io_threads)
         magic = self._bgzf.read(4)
         if magic != b"BAM\x01":
             raise ValueError(f"{path} is not a BAM file")
@@ -994,6 +994,99 @@ class BamWriter:
 
     def close(self) -> None:
         self._bgzf.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def cigar_string(rec: BamRecord) -> str:
+    if rec._n_cigar == 0:
+        return "*"
+    return "".join(
+        f"{int(c) >> 4}{CIGAR_OPS[int(c) & 0xF]}" for c in rec.cigar
+    )
+
+
+def record_to_sam(rec: BamRecord, header: BamHeader) -> str:
+    """Render one record as a SAM text line (htslib sam_format1
+    semantics: 1-based positions, '=' for same-ref mate, '%g' floats)."""
+    rname = header.tid2name(rec.ref_id) if rec.ref_id >= 0 else "*"
+    if rec.next_ref_id < 0:
+        rnext = "*"
+    elif rec.next_ref_id == rec.ref_id:
+        rnext = "="
+    else:
+        rnext = header.tid2name(rec.next_ref_id)
+    seq = rec.seq_bytes().tobytes().decode("ascii") if rec.l_seq else "*"
+    qual = "*"
+    if rec.l_seq:
+        q = rec.quals()
+        if len(q) and not (q == 0xFF).all():
+            qual = (q + 33).astype(np.uint8).tobytes().decode("ascii")
+    fields = [
+        rec.name, str(rec.flag), rname, str(rec.pos + 1), str(rec.mapq),
+        cigar_string(rec), rnext, str(rec.next_pos + 1), str(rec.tlen),
+        seq, qual,
+    ]
+    for tag, (typ, val) in rec.aux_items():
+        if typ == "A":
+            fields.append(f"{tag}:A:{val}")
+        elif typ in "cCsSiI":
+            fields.append(f"{tag}:i:{val}")
+        elif typ == "f":
+            fields.append(f"{tag}:f:{format(float(val), 'g')}")
+        elif typ in "ZH":
+            fields.append(f"{tag}:{typ}:{val}")
+        elif typ.startswith("B"):
+            sub = typ[1]
+            if sub == "f":
+                vals = ",".join(format(float(x), "g") for x in val)
+            else:
+                vals = ",".join(str(int(x)) for x in val)
+            fields.append(f"{tag}:B:{sub},{vals}")
+        else:
+            raise ValueError(f"cannot render aux type {typ!r} as SAM")
+    return "\t".join(fields) + "\n"
+
+
+class SamWriter:
+    """SAM text writer with the BamWriter surface (--output-sam on the
+    rewriters; reference command_utils.rs:222-240 get_bam_writer with
+    Format::Sam)."""
+
+    def __init__(self, path_or_fileobj, header: BamHeader):
+        import sys
+
+        if isinstance(path_or_fileobj, (str, os.PathLike)):
+            p = os.fspath(path_or_fileobj)
+            if p in ("-", "stdout"):
+                self._fh = sys.stdout
+                self._owns = False
+            else:
+                self._fh = open(p, "w")
+                self._owns = True
+        else:
+            self._fh = path_or_fileobj
+            self._owns = False
+        self.header = header
+        text = header.text
+        if text and not text.endswith("\n"):
+            text += "\n"
+        self._fh.write(text)
+
+    def write(self, rec: BamRecord) -> None:
+        self._fh.write(record_to_sam(rec, self.header))
+
+    def write_raw(self, buf: bytes) -> None:
+        self._fh.write(record_to_sam(BamRecord(buf), self.header))
+
+    def close(self) -> None:
+        self._fh.flush()
+        if self._owns:
+            self._fh.close()
 
     def __enter__(self):
         return self

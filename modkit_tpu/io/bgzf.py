@@ -69,10 +69,21 @@ class BgzfReader:
     offset (as used by BAI/tabix indices).
     """
 
-    def __init__(self, path: str | os.PathLike):
+    def __init__(self, path: str | os.PathLike, io_threads: int | None = None):
         self.path = os.fspath(path)
-        with open(self.path, "rb") as fh:
-            self._raw = fh.read()  # test-scale files; mmap for big inputs
+        # BGZF inflate worker count (the analog of htslib's tpool,
+        # reference commands.rs:371-378); None = min(8, cpus)
+        self.io_threads = io_threads
+        if self.path in ("-", "stdin"):
+            # streaming input (the reference's bam::Reader::from_stdin,
+            # command_utils.rs:212-219); buffered fully since BGZF blocks
+            # are only bounded once read
+            import sys
+
+            self._raw = sys.stdin.buffer.read()
+        else:
+            with open(self.path, "rb") as fh:
+                self._raw = fh.read()  # test-scale files; mmap for big inputs
         self._coffset = 0  # file offset of current block
         self._block: bytes = b""
         self._bsize = 0
@@ -148,13 +159,37 @@ class BgzfReader:
             off += bsize
         if not offs:
             return b""
-        workers = min(8, os.cpu_count() or 1)
+        chunks = self._inflate_many(offs)
+        chunks[0] = chunks[0][uoffset:]
+        return b"".join(chunks)
+
+    def _inflate_many(self, offs: list[int]) -> list[bytes]:
+        raw = self._raw
+        workers = self.io_threads or min(8, os.cpu_count() or 1)
         if len(offs) > 4 and workers > 1:
             with ThreadPoolExecutor(workers) as ex:
-                chunks = list(ex.map(lambda o: _inflate_block(raw, o)[0], offs))
-        else:
-            chunks = [_inflate_block(raw, o)[0] for o in offs]
-        chunks[0] = chunks[0][uoffset:]
+                return list(ex.map(lambda o: _inflate_block(raw, o)[0], offs))
+        return [_inflate_block(raw, o)[0] for o in offs]
+
+    def read_span(self, v_start: int, v_end: int) -> bytes:
+        """Decompress exactly the virtual-offset span [v_start, v_end),
+        inflating blocks in parallel across ``io_threads`` workers (the hot
+        path for tabix chunk fetches)."""
+        c_start, u_start = v_start >> 16, v_start & 0xFFFF
+        c_end, u_end = v_end >> 16, v_end & 0xFFFF
+        raw = self._raw
+        offs = []
+        off = c_start
+        while off < len(raw) and (off < c_end or (off == c_end and u_end > 0)):
+            bsize, _ = _parse_block_header(raw, off)
+            offs.append(off)
+            off += bsize
+        if not offs:
+            return b""
+        chunks = self._inflate_many(offs)
+        if offs[-1] == c_end:
+            chunks[-1] = chunks[-1][:u_end]
+        chunks[0] = chunks[0][u_start:]
         return b"".join(chunks)
 
 

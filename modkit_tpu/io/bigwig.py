@@ -230,6 +230,7 @@ class BigWigWriter:
         items_per_slot: int = 1024,
         nzooms: int = 10,
         zooms: list[int] | None = None,
+        threads: int = 1,
     ):
         self.path = path
         self.chrom_sizes = chrom_sizes
@@ -238,6 +239,10 @@ class BigWigWriter:
         self.items_per_slot = items_per_slot
         self.nzooms = nzooms
         self.manual_zooms = zooms
+        # zlib releases the GIL, so section compression scales across a
+        # thread pool (tobigwig --nthreads; the reference's bigtools runs
+        # on a tokio pool, bedmethyl_util/subcommands.rs:488)
+        self.threads = max(1, threads)
         # chrom -> (starts, ends, values); ids by first appearance
         self._data: dict[str, list] = {}
         self._order: list[str] = []
@@ -333,6 +338,19 @@ class BigWigWriter:
             out.write(struct.pack("<Q", 0))  # section count placeholder
             sections: list[_Section] = []
             max_uncompressed = 0
+
+            def compress_all(payloads: list[bytes]) -> list[bytes]:
+                if not self.compress:
+                    return payloads
+                if self.threads > 1 and len(payloads) > 2:
+                    from concurrent.futures import ThreadPoolExecutor
+
+                    with ThreadPoolExecutor(self.threads) as ex:
+                        return list(ex.map(zlib.compress, payloads))
+                return [zlib.compress(p) for p in payloads]
+
+            metas: list[tuple[int, int, int]] = []
+            payloads: list[bytes] = []
             for chrom in self._order:
                 cid = chrom_ids[chrom]
                 starts, ends, vals = intervals[chrom]
@@ -359,15 +377,13 @@ class BigWigWriter:
                     items[:, 2] = v.view(np.uint32)
                     payload += items.tobytes()
                     max_uncompressed = max(max_uncompressed, len(payload))
-                    blob = (
-                        zlib.compress(payload) if self.compress else payload
-                    )
-                    sections.append(
-                        _Section(
-                            cid, int(s[0]), int(e[-1]), out.tell(), len(blob)
-                        )
-                    )
-                    out.write(blob)
+                    metas.append((cid, int(s[0]), int(e[-1])))
+                    payloads.append(payload)
+            for (cid, s0, e1), blob in zip(metas, compress_all(payloads)):
+                sections.append(
+                    _Section(cid, s0, e1, out.tell(), len(blob))
+                )
+                out.write(blob)
             # ---- main index ----
             full_index_offset = out.tell()
             _write_rtree(
@@ -384,23 +400,23 @@ class BigWigWriter:
                 data_offset = out.tell()
                 out.write(struct.pack("<I", len(recs)))
                 zsections: list[_Section] = []
+                zmetas: list[tuple[int, int, int]] = []
+                zpayloads: list[bytes] = []
                 for ofs in range(0, len(recs), self.items_per_slot):
                     chunk = recs[ofs : ofs + self.items_per_slot]
                     payload = b"".join(
                         struct.pack("<IIIIffff", *r) for r in chunk
                     )
                     max_uncompressed = max(max_uncompressed, len(payload))
-                    blob = (
-                        zlib.compress(payload) if self.compress else payload
+                    zmetas.append(
+                        (chunk[0][0], chunk[0][1], max(r[2] for r in chunk))
                     )
+                    zpayloads.append(payload)
+                for (cid, s0, e1), blob in zip(
+                    zmetas, compress_all(zpayloads)
+                ):
                     zsections.append(
-                        _Section(
-                            chunk[0][0],
-                            chunk[0][1],
-                            max(r[2] for r in chunk),
-                            out.tell(),
-                            len(blob),
-                        )
+                        _Section(cid, s0, e1, out.tell(), len(blob))
                     )
                     out.write(blob)
                 index_offset = out.tell()

@@ -91,13 +91,15 @@ class TabixFile:
     """Region fetch over a bgzipped, tabix-indexed text file
     (tabix.rs:77 HtsTabixHandler)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, io_threads: int | None = None):
         self.path = os.fspath(path)
         idx_path = self.path + ".tbi"
         if not os.path.exists(idx_path):
             raise FileNotFoundError(f"no tabix index for {path}")
         self.index = TabixIndex(idx_path)
-        self._bgzf = BgzfReader(self.path)
+        # io_threads = BGZF inflate workers per fetch (the reference's
+        # htslib tpool / --io-threads, tabix.rs:146)
+        self._bgzf = BgzfReader(self.path, io_threads=io_threads)
 
     @property
     def contigs(self) -> list[str]:
@@ -115,14 +117,9 @@ class TabixFile:
         cs = self.index.col_seq - 1
         zero_based = bool(self.index.format & 0x10000)
         for cbeg, cend in self.index.query_chunks(rid, start, end):
-            self._bgzf.seek_voffset(cbeg)
-            buf = bytearray()
-            while self._bgzf.tell_voffset() < cend:
-                piece = self._bgzf.read(1 << 16)
-                if not piece:
-                    break
-                buf += piece
+            buf = bytearray(self._bgzf.read_span(cbeg, cend))
             # may need the tail of the last line
+            self._bgzf.seek_voffset(cend)
             tail = self._bgzf.read(1 << 12)
             while tail and b"\n" not in tail:
                 buf += tail
