@@ -104,3 +104,17 @@ def test_extract_supplementary_secondary(resources, tmp_path):
         os.path.join(resources, "test_supplementary_calls.tsv")
     ) as fb:
         assert fa.read() == fb.read()
+
+
+def test_mod_data_ord():
+    """Port of tests/test_extract.rs:56 test_extract_mod_data_ord: the
+    per-read profile comparator orders by (q_pos, mod_code, strand) with
+    mod codes in character order ('h' < 'm')."""
+    def key(q_pos, mod_code, strand):
+        return (q_pos, mod_code, strand)
+
+    d1 = key(0, "m", "+")
+    d2 = key(0, "h", "+")
+    d3 = key(1, "h", "+")
+    assert d2 < d1
+    assert d1 < d3

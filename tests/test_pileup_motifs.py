@@ -94,3 +94,25 @@ def test_preset_equals_explicit_options(resources, tmp_path):
     ))
     with open(a) as fa, open(b) as fb:
         assert fa.read() == fb.read()
+
+
+def test_pileup_multi_motif_cg0_cgcg2_second_bam(resources, tmp_path):
+    # test_pileup.rs:738 (second run) + :779 test_pileup_motifs_cg0_cgcg2_combined
+    bam2 = os.path.join(
+        resources,
+        "CG_5mC_20230207_1700_6A_PAG66026_3c0abf27_oligo_741_adapters_modcalls_0th_sort_10_reads-2.bam",
+    )
+    ref = os.path.join(resources, "CGI_ladder_3.6kb_ref.fa")
+    _check(
+        tmp_path, "cgcg2_b2", os.path.join(resources, "cgcg2_cg0_test2.bed"),
+        in_bam=bam2, motifs=["CG", "0", "CGCG", "2"], mixed_delimiters=True,
+        no_filtering=True, reference_fasta=ref,
+        region="oligo_741_adapters:22-62",
+    )
+    _check(
+        tmp_path, "cgcg2_b2c",
+        os.path.join(resources, "cgcg2_cg0_test2_combine_strands.bed"),
+        in_bam=bam2, motifs=["CG", "0", "CGCG", "2"], mixed_delimiters=True,
+        no_filtering=True, combine_strands=True, reference_fasta=ref,
+        region="oligo_741_adapters:22-62",
+    )
