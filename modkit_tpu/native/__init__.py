@@ -182,6 +182,10 @@ def load():
             ]
             lib.mk_free_buf.restype = None
             lib.mk_free_buf.argtypes = [ctypes.c_void_p]
+            lib.mk_bench_event_rate.restype = ctypes.c_double
+            lib.mk_bench_event_rate.argtypes = [
+                ctypes.c_int64, ctypes.c_int32,
+            ]
             lib.mk_read_groups.restype = ctypes.c_int32
             lib.mk_read_groups.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,   # rec bytes
@@ -204,6 +208,16 @@ def load():
 
 def available() -> bool:
     return load() is not None
+
+
+def bench_event_rate(n_events: int = 1_000_000, m: int = 2) -> float | None:
+    """Measured host threshold+count rate (events/s) on a synthetic batch;
+    None when the native library is unavailable. Drives the adaptive
+    offload policy's host-side cost model (parallel/devices.py)."""
+    lib = load()
+    if lib is None:
+        return None
+    return float(lib.mk_bench_event_rate(n_events, m))
 
 
 def encode_code(code) -> int:

@@ -70,10 +70,32 @@ def link_bandwidth_bytes_per_s() -> float:
     return _bw_cache
 
 
-# host C++ threshold+count throughput (events/s), measured on this class of
-# host (native mk_threshold_states + mk_bincount_states, ~38 M events/s);
-# override with MODKIT_TPU_HOST_EVENT_RATE
-_HOST_EVENT_RATE = 30e6
+# fallback host throughput guess (events/s) when the native library (and
+# hence the measured probe) is unavailable; override with
+# MODKIT_TPU_HOST_EVENT_RATE
+_HOST_EVENT_RATE_FALLBACK = 30e6
+_host_rate_cache: float | None = None
+_policy_logged = False
+
+
+def host_event_rate() -> float:
+    """Host threshold+count throughput (events/s), self-calibrated: one
+    ~1 Mevent synthetic probe through the exact native hot loops
+    (mk_bench_event_rate), cached for the process. Env override
+    MODKIT_TPU_HOST_EVENT_RATE wins; falls back to a conservative guess
+    when the native library is unavailable."""
+    global _host_rate_cache
+    override = os.environ.get("MODKIT_TPU_HOST_EVENT_RATE")
+    if override:
+        return float(override)
+    if _host_rate_cache is None:
+        from .. import native
+
+        measured = native.bench_event_rate()
+        _host_rate_cache = (
+            measured if measured else _HOST_EVENT_RATE_FALLBACK
+        )
+    return _host_rate_cache
 
 
 def offload_events_to_device(n_events: int, bytes_per_event: float) -> bool:
@@ -83,17 +105,28 @@ def offload_events_to_device(n_events: int, bytes_per_event: float) -> bool:
     device wins when its transfer time beats 2x the host counting time
     (the 2x credits the host cores the offload frees for BAM decode).
     """
+    global _policy_logged
     mode = os.environ.get("MODKIT_TPU_OFFLOAD", "auto")
     if mode == "always":
         return True
     if mode == "never":
         return False
-    host_rate = float(
-        os.environ.get("MODKIT_TPU_HOST_EVENT_RATE", _HOST_EVENT_RATE)
-    )
-    t_dev = n_events * (bytes_per_event + 1.0) / link_bandwidth_bytes_per_s()
+    host_rate = host_event_rate()
+    bw = link_bandwidth_bytes_per_s()
+    t_dev = n_events * (bytes_per_event + 1.0) / bw
     t_host = n_events / host_rate
-    return t_dev < 2.0 * t_host
+    offload = t_dev < 2.0 * t_host
+    if not _policy_logged:
+        _policy_logged = True
+        from ..logging import get_logger
+
+        get_logger().info(
+            "offload policy: link %.1f MB/s, host %.1f Mevent/s -> "
+            "counting on %s",
+            bw / 1e6, host_rate / 1e6,
+            "device" if offload else "host",
+        )
+    return offload
 
 
 def maybe_init_distributed() -> bool:

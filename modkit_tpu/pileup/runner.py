@@ -3,7 +3,9 @@
 Feeds genome tiles in (tid, start) order through the TileProcessor and
 writes bedMethyl rows in order. Threshold estimation (unless --no-filtering
 or a fixed --filter-threshold) samples reads and computes the filter
-percentile on device (thresholds.py).
+percentile via a device sort when the adaptive offload policy selects the
+chip, host numpy otherwise — bit-identical either way (thresholds.py
+percentile_linear_interp_device).
 """
 
 from __future__ import annotations

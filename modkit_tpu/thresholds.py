@@ -47,6 +47,51 @@ def percentile_linear_interp(xs: np.ndarray, q: float) -> np.float32:
     return y0 * (np.float32(1.0) - g) + y1 * g
 
 
+_sorted_cache: dict = {}
+
+
+def _device_sorted(xs: np.ndarray):
+    """Device sort of the confidence vector, padded to a power-of-two
+    bucket (+inf) so jit compiles once per bucket. Returns a device array
+    whose first len(xs) slots are the sorted values."""
+    import jax
+    import jax.numpy as jnp
+
+    n = len(xs)
+    bucket = 1 << max(10, (n - 1).bit_length())
+    fn = _sorted_cache.get(bucket)
+    if fn is None:
+        fn = _sorted_cache[bucket] = jax.jit(jnp.sort)
+    pad = np.full(bucket - n, np.inf, dtype=np.float32)
+    return fn(jnp.asarray(np.concatenate([xs.astype(np.float32), pad])))
+
+
+def percentile_linear_interp_device(xs: np.ndarray, q: float) -> np.float32:
+    """percentile_linear_interp with the sort on device (jnp.sort) and the
+    two gathered endpoints interpolated host-side in f32 — bit-identical
+    to the numpy path (f32 sort is exact; same IEEE mul/add order)."""
+    n = len(xs)
+    if n < 2:
+        raise ModKitError(
+            "percentile-not-enough-datapoints",
+            f"need at least 2 data points, have {n}",
+        )
+    q = np.float32(q)
+    if q > np.float32(1.0):
+        raise ModKitError("percentile-invalid-quantile", str(q))
+    s = _device_sorted(xs)
+    if q == np.float32(1.0):
+        return np.float32(s[n - 1])
+    l = np.float32(n - 1)
+    t = l * q
+    left = int(np.floor(t))
+    right = int(np.ceil(t))
+    g = t - np.float32(np.floor(t))
+    y0 = np.float32(s[left])
+    y1 = np.float32(s[right])
+    return y0 * (np.float32(1.0) - g) + y1 * g
+
+
 class Percentiles:
     """thresholds.rs:40 — percentile table for sample-probs."""
 
@@ -378,12 +423,22 @@ def confidences_per_base(sampled: dict) -> dict[int, np.ndarray]:
 def thresholds_from_sampled(
     sampled: dict, filter_percentile: float
 ) -> dict[str, float]:
+    """Per-base filter percentile; the sort runs on device when the
+    adaptive offload policy says the transfer pays (SURVEY §7's device
+    percentile kernel), host numpy otherwise — both bit-identical."""
+    from .parallel.devices import offload_events_to_device
+
     out = {}
     for b, v in confidences_per_base(sampled).items():
-        s = np.sort(v.astype(np.float32))
-        out[DNA_BASES[b]] = float(
-            percentile_linear_interp(s, filter_percentile)
-        )
+        if len(v) >= 2 and offload_events_to_device(len(v), 4.0):
+            out[DNA_BASES[b]] = float(
+                percentile_linear_interp_device(v, filter_percentile)
+            )
+        else:
+            s = np.sort(v.astype(np.float32))
+            out[DNA_BASES[b]] = float(
+                percentile_linear_interp(s, filter_percentile)
+            )
     return out
 
 

@@ -73,3 +73,35 @@ def test_init_logging_quiet_has_no_console_handler():
         and getattr(h, "stream", None) is sys.stderr
         for h in logger.handlers
     )
+
+
+def test_profiler_hook_writes_trace(resources, tmp_path, monkeypatch):
+    """MODKIT_TPU_PROFILE=<dir> must capture a jax.profiler trace of the
+    tile loop (SURVEY §5: structured device traces replace the
+    reference's indicatif timing)."""
+    import os
+
+    from modkit_tpu.pileup.runner import PileupConfig, run_pileup
+
+    trace_dir = tmp_path / "trace"
+    monkeypatch.setenv("MODKIT_TPU_PROFILE", str(trace_dir))
+    run_pileup(
+        PileupConfig(
+            in_bam=os.path.join(
+                resources, "bc_anchored_10_reads.sorted.bam"
+            ),
+            out=str(tmp_path / "out.bed"),
+            interval_size=25,
+            no_filtering=True,
+            suppress_progress=True,
+        )
+    )
+    produced = [
+        os.path.join(root, f)
+        for root, _dirs, files in os.walk(trace_dir)
+        for f in files
+    ]
+    assert produced, "no trace files written"
+    assert any(
+        f.endswith((".trace.json.gz", ".pb", ".xplane.pb")) for f in produced
+    ), produced

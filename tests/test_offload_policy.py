@@ -65,3 +65,34 @@ def test_policy_thresholds(monkeypatch):
     assert offload_events_to_device(1, 5.0)
     monkeypatch.setenv("MODKIT_TPU_OFFLOAD", "never")
     assert not offload_events_to_device(10**9, 5.0)
+
+
+def test_host_rate_probe_and_policy_log(monkeypatch, caplog):
+    """The host event rate is MEASURED via the native probe (not the
+    hardcoded fallback), and the auto policy logs its decision + inputs
+    once at INFO."""
+    import logging
+
+    import modkit_tpu.parallel.devices as dv
+    from modkit_tpu import native
+
+    monkeypatch.delenv("MODKIT_TPU_HOST_EVENT_RATE", raising=False)
+    monkeypatch.setattr(dv, "_host_rate_cache", None)
+    rate = dv.host_event_rate()
+    if native.available():
+        # a real measurement: positive, not exactly the fallback constant
+        assert rate > 0 and rate != dv._HOST_EVENT_RATE_FALLBACK
+        assert dv._host_rate_cache == rate  # cached for the process
+    else:
+        assert rate == dv._HOST_EVENT_RATE_FALLBACK
+
+    monkeypatch.setenv("MODKIT_TPU_OFFLOAD", "auto")
+    monkeypatch.setattr(dv, "_bw_cache", 10e9)
+    monkeypatch.setattr(dv, "_policy_logged", False)
+    with caplog.at_level(logging.INFO, logger="modkit_tpu"):
+        dv.offload_events_to_device(1_000_000, 5.0)
+        dv.offload_events_to_device(1_000_000, 5.0)
+    lines = [r for r in caplog.records if "offload policy" in r.getMessage()]
+    assert len(lines) == 1  # logged once, not per batch
+    msg = lines[0].getMessage()
+    assert "MB/s" in msg and "Mevent/s" in msg
