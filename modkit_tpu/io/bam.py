@@ -466,6 +466,16 @@ class BamReader:
                 if rec.reference_end() > start:
                     yield rec
 
+    @property
+    def bam_raw(self) -> bytes:
+        """The compressed BAM bytes (for the native BGZF inflate+decode
+        tile path, native.decode_tile_bgzf)."""
+        return self._bgzf._raw
+
+    def fetch_chunk_voffsets(self, tid: int, start: int, end: int):
+        """BAI/CSI chunk (vbeg, vend) virtual-offset pairs for the region."""
+        return self.index.query(tid, start, end)
+
     def fetch_chunks_raw(self, tid: int, start: int, end: int) -> list[bytes]:
         """Decompressed byte buffers of the BAI chunks overlapping the
         region — the exact bytes ``fetch`` iterates, for the native C++

@@ -84,7 +84,7 @@ def _build() -> None:
         [
             os.environ.get("CXX", "g++"),
             "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-            "-shared", "-o", _SO, _SRC,
+            "-shared", "-o", _SO, _SRC, "-lz",
         ],
         check=True,
         capture_output=True,
@@ -185,6 +185,25 @@ def load():
             lib.mk_bench_event_rate.restype = ctypes.c_double
             lib.mk_bench_event_rate.argtypes = [
                 ctypes.c_int64, ctypes.c_int32,
+            ]
+            lib.mk_decode_tile_bgzf.restype = ctypes.c_int32
+            lib.mk_decode_tile_bgzf.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # raw BAM bytes
+                ctypes.POINTER(ctypes.c_int64),    # chunk vbeg
+                ctypes.POINTER(ctypes.c_int64),    # chunk vend
+                ctypes.c_int32,                    # n_chunks
+                ctypes.c_int32,                    # tid
+                ctypes.c_int64, ctypes.c_int64,    # start, end
+                ctypes.c_int64,                    # max_depth
+                ctypes.c_int32,                    # force_allow
+                ctypes.c_int32,                    # has_edge
+                ctypes.c_int64, ctypes.c_int64,    # edge trims
+                ctypes.c_int32,                    # edge inverted
+                ctypes.POINTER(ctypes.c_int64),    # collapse blob
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int8),     # focus rule
+                ctypes.c_int32,                    # n_threads
+                ctypes.POINTER(_MkTileOut),
             ]
             lib.mk_read_groups.restype = ctypes.c_int32
             lib.mk_read_groups.argtypes = [
@@ -301,6 +320,62 @@ def decode_tile(
     if rc != 0:
         raise RuntimeError(f"mk_decode_tile failed rc={rc}")
     return NativeTile(lib, out, end - start, keepalive=(chunks, blob, fr))
+
+
+def decode_tile_bgzf(
+    raw: bytes,
+    chunks: list[tuple[int, int]],  # (vbeg, vend) virtual-offset chunks
+    tid: int,
+    start: int,
+    end: int,
+    *,
+    max_depth: int = 0,
+    force_allow: bool = False,
+    edge_filter=None,
+    collapse=None,
+    focus_rule: np.ndarray | None = None,
+    n_threads: int | None = None,
+):
+    """Tile decode straight from the compressed BAM bytes: BGZF blocks
+    inflate inside the native thread pool with early stop at the first
+    record past the tile end (the host feed-ceiling fix — the Python
+    fetch path inflated whole BAI chunks, ~2x the tile's share). Output
+    is identical to fetch_chunks_raw + decode_tile."""
+    lib = load()
+    if lib is None:
+        return None
+    n_chunks = len(chunks)
+    vbeg = np.asarray([c[0] for c in chunks], dtype=np.int64)
+    vend = np.asarray([c[1] for c in chunks], dtype=np.int64)
+    blob = encode_collapse(collapse)
+    c_blob = blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if focus_rule is not None:
+        fr = np.ascontiguousarray(focus_rule, dtype=np.int8)
+        c_rule = fr.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+    else:
+        fr = None
+        c_rule = ctypes.POINTER(ctypes.c_int8)()
+    has_edge = edge_filter is not None
+    out = _MkTileOut()
+    nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
+    rc = lib.mk_decode_tile_bgzf(
+        raw, len(raw),
+        vbeg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vend.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_chunks, tid, start, end, max_depth,
+        1 if force_allow else 0,
+        1 if has_edge else 0,
+        edge_filter.start_trim if has_edge else 0,
+        edge_filter.end_trim if has_edge else 0,
+        1 if (has_edge and edge_filter.inverted) else 0,
+        c_blob, len(blob), c_rule, nt,
+        ctypes.byref(out),
+    )
+    if rc != 0:
+        raise RuntimeError(f"mk_decode_tile_bgzf failed rc={rc}")
+    return NativeTile(
+        lib, out, end - start, keepalive=(raw, vbeg, vend, blob, fr)
+    )
 
 
 class NativeTile:

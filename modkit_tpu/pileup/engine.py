@@ -128,6 +128,10 @@ class PileupOptions:
     use_device: bool = True
     # use the native C++ tile decoder when available (None = auto)
     use_native: bool | None = None
+    # native inflate/decode threads per tile (None = min(cpus, 8)); the
+    # runner divides cores across its launch workers so concurrent tiles
+    # don't oversubscribe the host
+    decode_threads: int | None = None
 
 
 @dataclass
@@ -252,15 +256,33 @@ class TileProcessor:
         ):
             from .. import native
 
-            res = native.decode_tile(
-                reader.fetch_chunks_raw(tid, start, end),
-                tid, start, end,
-                max_depth=self.opts.max_depth or 0,
-                force_allow=self.opts.force_allow,
-                edge_filter=self.opts.edge_filter,
-                collapse=self.opts.collapse,
-                focus_rule=focus_rule,
-            )
+            if hasattr(reader, "bam_raw"):
+                # BGZF blocks inflate inside the native thread pool with
+                # early stop past the tile end (feed-ceiling fix — the
+                # Python fetch inflated whole BAI chunks, ~2x the tile's
+                # share on WGS data)
+                res = native.decode_tile_bgzf(
+                    reader.bam_raw,
+                    reader.fetch_chunk_voffsets(tid, start, end),
+                    tid, start, end,
+                    max_depth=self.opts.max_depth or 0,
+                    force_allow=self.opts.force_allow,
+                    edge_filter=self.opts.edge_filter,
+                    collapse=self.opts.collapse,
+                    focus_rule=focus_rule,
+                    n_threads=self.opts.decode_threads,
+                )
+            else:
+                res = native.decode_tile(
+                    reader.fetch_chunks_raw(tid, start, end),
+                    tid, start, end,
+                    max_depth=self.opts.max_depth or 0,
+                    force_allow=self.opts.force_allow,
+                    edge_filter=self.opts.edge_filter,
+                    collapse=self.opts.collapse,
+                    focus_rule=focus_rule,
+                    n_threads=self.opts.decode_threads,
+                )
             if res is not None:
                 with self._stats_lock:
                     self.n_used += res.n_used

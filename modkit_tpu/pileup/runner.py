@@ -402,6 +402,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
     n_workers = (
         max(1, min(cfg.threads, os.cpu_count() or 1)) if parallel_ok else 1
     )
+    # divide cores across concurrent tile launches so the native
+    # inflate/decode pools don't oversubscribe the host
+    proc.opts.decode_threads = max(1, (os.cpu_count() or 1) // n_workers)
     # tiles in flight: --chunk-size, else 1.5x threads like the reference
     # (command_utils.rs:279 calculate_chunk_size), floored at one per
     # device + one per launch worker

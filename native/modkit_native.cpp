@@ -22,6 +22,7 @@
 #include <array>
 #include <atomic>
 #include <chrono>
+#include <zlib.h>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -1233,6 +1234,165 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
 void mk_free_tile(MkTileOut* out) {
   delete static_cast<TileBuffers*>(out->handle);
   out->handle = nullptr;
+}
+
+// ------------------------------------------------- BGZF inflate + decode
+// Tile decode straight from the compressed BAM bytes: the BAI chunk spans
+// are inflated here, block-parallel across the decode thread pool, with an
+// EARLY STOP as soon as a complete record past the tile end appears — the
+// Python fetch path inflated whole chunks (~2x the tile's share on
+// WGS-style data, since big-bin chunks span many tiles). This is the host
+// feed-ceiling attack of BASELINE.md (parallel BGZF inflation inside
+// native decode).
+
+static bool bgzf_block_info(const uint8_t* raw, int64_t len, int64_t off,
+                            int64_t* bsize, int64_t* data_off,
+                            int64_t* data_len) {
+  if (off + 18 > len) return false;
+  if (raw[off] != 0x1f || raw[off + 1] != 0x8b) return false;
+  if (!(raw[off + 3] & 4)) return false;
+  uint16_t xlen;
+  std::memcpy(&xlen, raw + off + 10, 2);
+  int64_t p = off + 12, extra_end = off + 12 + xlen;
+  if (extra_end > len) return false;
+  int64_t bs = -1;
+  while (p + 4 <= extra_end) {
+    uint8_t si1 = raw[p], si2 = raw[p + 1];
+    uint16_t slen;
+    std::memcpy(&slen, raw + p + 2, 2);
+    if (si1 == 0x42 && si2 == 0x43 && slen == 2) {
+      uint16_t v;
+      std::memcpy(&v, raw + p + 4, 2);
+      bs = (int64_t)v + 1;
+    }
+    p += 4 + slen;
+  }
+  if (bs < 0 || off + bs > len) return false;
+  *bsize = bs;
+  *data_off = extra_end;
+  *data_len = off + bs - 8 - extra_end;
+  return true;
+}
+
+static bool inflate_block_raw(const uint8_t* src, int64_t slen, uint8_t* dst,
+                              int64_t dcap) {
+  z_stream zs{};
+  if (inflateInit2(&zs, -15) != Z_OK) return false;
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = (uInt)slen;
+  zs.next_out = dst;
+  zs.avail_out = (uInt)dcap;
+  int rc = inflate(&zs, Z_FINISH);
+  inflateEnd(&zs);
+  return rc == Z_STREAM_END;
+}
+
+int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
+                            const int64_t* vbeg, const int64_t* vend,
+                            int32_t n_chunks, int32_t tid, int64_t start,
+                            int64_t end, int64_t max_depth,
+                            int32_t force_allow, int32_t has_edge,
+                            int64_t edge_start, int64_t edge_end,
+                            int32_t edge_inverted,
+                            const int64_t* collapse_blob,
+                            int32_t collapse_len, const int8_t* focus_rule,
+                            int32_t n_threads, MkTileOut* out) {
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::vector<uint8_t>> datas((size_t)n_chunks);
+  std::vector<const uint8_t*> ptrs((size_t)n_chunks);
+  std::vector<int64_t> lens((size_t)n_chunks, 0);
+  bool stop = false;
+  for (int32_t c = 0; c < n_chunks && !stop; ++c) {
+    int64_t c0 = vbeg[c] >> 16, u0 = vbeg[c] & 0xFFFF;
+    int64_t c1 = vend[c] >> 16, u1 = vend[c] & 0xFFFF;
+    std::vector<uint8_t>& data = datas[c];
+    int64_t off = c0;
+    int64_t scan = u0;       // record-scan position (skips u_start prefix)
+    int64_t last_block_out = -1;  // out-offset of the block at c1
+    bool hit_span_end = false;
+    while (off < raw_len && !hit_span_end && !stop) {
+      struct B {
+        int64_t doff, dlen, out_off;
+        uint32_t isize;
+      };
+      std::vector<B> batch;
+      int64_t base = (int64_t)data.size();
+      int64_t total = 0;
+      while (off < raw_len && (int)batch.size() < nt * 8) {
+        if (off > c1 || (off == c1 && u1 == 0)) {
+          hit_span_end = true;
+          break;
+        }
+        int64_t bs, doff, dlen;
+        if (!bgzf_block_info(raw, raw_len, off, &bs, &doff, &dlen)) {
+          hit_span_end = true;
+          break;
+        }
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bs - 4, 4);
+        if (off == c1) last_block_out = base + total;
+        batch.push_back({doff, dlen, base + total, isize});
+        total += isize;
+        if (off == c1) {
+          off += bs;
+          hit_span_end = true;
+          break;
+        }
+        off += bs;
+      }
+      if (batch.empty()) break;
+      data.resize((size_t)(base + total));
+      auto do_one = [&](const B& b) {
+        if (b.isize)
+          inflate_block_raw(raw + b.doff, b.dlen, data.data() + b.out_off,
+                            b.isize);
+      };
+      if (nt > 1 && batch.size() > 1) {
+        std::atomic<size_t> next{0};
+        auto worker = [&]() {
+          for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= batch.size()) return;
+            do_one(batch[i]);
+          }
+        };
+        std::vector<std::thread> pool;
+        int tc = std::min<int>(nt, (int)batch.size());
+        for (int t = 0; t < tc; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+      } else {
+        for (auto& b : batch) do_one(b);
+      }
+      // early stop: first COMPLETE record at/past the tile end means the
+      // decoder will scan no further — stop inflating
+      int64_t avail = (int64_t)data.size();
+      while (scan + 4 <= avail) {
+        int32_t bs32;
+        std::memcpy(&bs32, data.data() + scan, 4);
+        if (bs32 < 32 || scan + 4 + bs32 > avail) break;
+        int32_t r_ref, r_pos;
+        std::memcpy(&r_ref, data.data() + scan + 4, 4);
+        std::memcpy(&r_pos, data.data() + scan + 8, 4);
+        scan += 4 + bs32;
+        if (r_ref > tid || (r_ref == tid && (int64_t)r_pos >= end)) {
+          stop = true;
+          break;
+        }
+      }
+    }
+    // trim: skip the u_start prefix; cut the final block at u_end
+    int64_t hi = (int64_t)data.size();
+    if (u1 > 0 && last_block_out >= 0)
+      hi = std::min<int64_t>(hi, last_block_out + u1);
+    if (stop) hi = std::min<int64_t>(hi, scan);
+    int64_t lo = std::min<int64_t>(u0, hi);
+    ptrs[c] = data.data() + lo;
+    lens[c] = hi - lo;
+  }
+  return mk_decode_tile(ptrs.data(), lens.data(), n_chunks, tid, start, end,
+                        max_depth, force_allow, has_edge, edge_start,
+                        edge_end, edge_inverted, collapse_blob, collapse_len,
+                        focus_rule, n_threads, out);
 }
 
 // Export the decoded tile's sparse events directly into caller-allocated
