@@ -30,8 +30,13 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
 import json
 import os
+import sys
 import tempfile
 import time
+
+
+def _note(msg):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
 def _measure_hbm_copy_gbps():
@@ -171,9 +176,11 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="modkit_bench_")
     bam = os.path.join(tmp, "synth.bam")
+    t0 = time.perf_counter()
     stats = make_synthetic_modbam(
         bam, n_reads=n_reads, read_len=read_len, coverage=coverage, seed=1
     )
+    _note(f"generated {n_reads} reads in {time.perf_counter() - t0:.1f}s")
 
     def time_pileup(tag, offload_mode):
         os.environ["MODKIT_TPU_OFFLOAD"] = offload_mode
@@ -186,6 +193,7 @@ def main():
         )
         dt = time.perf_counter() - t0
         assert res["rows"] > 0
+        _note(f"pileup {tag} ({offload_mode}): {dt:.1f}s")
         return dt
 
     def time_cpu(i):
@@ -193,10 +201,14 @@ def main():
         res = run_pileup_cpu(bam, os.path.join(tmp, f"c{i}.bed"))
         dt = time.perf_counter() - t0
         assert res["rows"] > 0
+        _note(f"cpu baseline {i}: {dt:.1f}s")
         return dt
 
     link_bw = link_bandwidth_bytes_per_s()
     host_rate = host_event_rate()
+    _note(
+        f"link {link_bw / 1e6:.0f} MB/s, host {host_rate / 1e6:.0f} Meps"
+    )
 
     time_pileup("warm", "auto")  # jit compile
     best_auto = min(time_pileup(f"a{i}", "auto") for i in range(reps))

@@ -427,6 +427,11 @@ def run_extract(
 
     import os as _os
 
+    from ..logging import ProgressTicker
+
+    # reads processed + live queue depth (the reference's queue gauge,
+    # extract/util.rs:346-349)
+    ticker = ProgressTicker("processing reads:", suppress=fh is sys.stdout)
     n_workers = max(1, min(threads, _os.cpu_count() or 1))
     if n_workers > 1 and num_reads is None:
         from collections import deque
@@ -444,6 +449,7 @@ def run_extract(
             else:
                 fh.writelines(res)
                 n_reads += 1
+            ticker.update(reads=n_reads, queue=len(inflight))
 
         try:
             for rec in records:
@@ -468,6 +474,8 @@ def run_extract(
                 continue
             fh.writelines(res)
             n_reads += 1
+            ticker.update(reads=n_reads)
+    ticker.finish(reads=n_reads)
     if close:
         fh.close()
     return dict(reads=n_reads, errors=dict(errors))

@@ -445,18 +445,16 @@ class BamReader:
             return False
 
     def fetch(self, tid: int, start: int, end: int):
-        """Yield records overlapping [start, end) on tid, via the BAI index."""
+        """Yield records overlapping [start, end) on tid, via the BAI index.
+
+        Chunks are read EXACTLY over [cbeg, cend) (htslib semantics):
+        reading past cend to the block end can re-visit records that also
+        belong to a later chunk and silently double-count them.
+        """
         chunks = self.index.query(tid, start, end)
         for cbeg, cend in chunks:
-            self._bgzf.seek_voffset(cbeg)
-            buf = bytearray()
-            # read enough compressed data to cover the chunk
-            while self._bgzf.tell_voffset() < cend:
-                piece = self._bgzf.read(1 << 16)
-                if not piece:
-                    break
-                buf += piece
-            for rec in _iter_records_in(bytes(buf), allow_partial_tail=True):
+            buf = self._bgzf.read_span(cbeg, cend)
+            for rec in _iter_records_in(buf, allow_partial_tail=True):
                 if rec.ref_id != tid or rec.pos >= end:
                     if rec.ref_id > tid or (rec.ref_id == tid and rec.pos >= end):
                         return
@@ -479,19 +477,12 @@ class BamReader:
     def fetch_chunks_raw(self, tid: int, start: int, end: int) -> list[bytes]:
         """Decompressed byte buffers of the BAI chunks overlapping the
         region — the exact bytes ``fetch`` iterates, for the native C++
-        record decoder (region/flag filtering happens there)."""
+        record decoder (region/flag filtering happens there). Spans are
+        exact [cbeg, cend) — see fetch."""
         chunks = self.index.query(tid, start, end)
-        out = []
-        for cbeg, cend in chunks:
-            self._bgzf.seek_voffset(cbeg)
-            buf = bytearray()
-            while self._bgzf.tell_voffset() < cend:
-                piece = self._bgzf.read(1 << 16)
-                if not piece:
-                    break
-                buf += piece
-            out.append(bytes(buf))
-        return out
+        return [
+            self._bgzf.read_span(cbeg, cend) for cbeg, cend in chunks
+        ]
 
     def fetch_unmapped(self):
         """Yield unmapped-unplaced records from the tail of the file.

@@ -15,6 +15,29 @@ from __future__ import annotations
 import os
 
 _devices_cache: list | None = None
+_comp_cache_set = False
+
+
+def enable_compilation_cache() -> None:
+    """Point XLA at a persistent compilation cache so kernel compiles
+    (slow over a tunneled chip: ~20 s each) are paid once per shape, not
+    once per process. Respects JAX_COMPILATION_CACHE_DIR; defaults to
+    ~/.cache/modkit_tpu/jax. Disable with MODKIT_TPU_NO_COMPILE_CACHE=1."""
+    global _comp_cache_set
+    if _comp_cache_set or os.environ.get("MODKIT_TPU_NO_COMPILE_CACHE"):
+        return
+    _comp_cache_set = True
+    import jax
+
+    d = os.environ.get("JAX_COMPILATION_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "modkit_tpu", "jax"
+    )
+    try:
+        os.makedirs(d, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def compute_devices() -> list:

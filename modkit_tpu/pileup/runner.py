@@ -212,9 +212,11 @@ def run_pileup(cfg: PileupConfig) -> dict:
     out_path = cfg.out
     if cfg.use_device:
         from ..parallel.devices import (
-            maybe_init_distributed, process_info, shard_path,
+            enable_compilation_cache, maybe_init_distributed, process_info,
+            shard_path,
         )
 
+        enable_compilation_cache()
         maybe_init_distributed()
         pidx, pcount = process_info()
         if pcount > 1:

@@ -95,3 +95,35 @@ def test_bgzf_decode_synthetic_many_tiles(tmp_path):
         assert _tile_signature(got) == _tile_signature(want), (start, end)
         n_events += got.n_events
     assert n_events > 100_000
+
+
+def test_fetch_no_duplicate_records_wgs_scale(tmp_path):
+    """Regression (found at 50k-read bench scale): reading BAI chunks past
+    cend to a block/64K boundary can re-visit records that also belong to
+    a later chunk, silently double-counting reads (one duplicate occurs
+    in this exact config with the old over-reading fetch). Chunks must be
+    read exactly over [cbeg, cend), htslib semantics."""
+    from modkit_tpu.utils.synth import make_synthetic_modbam
+
+    bam = str(tmp_path / "wgs.bam")
+    stats = make_synthetic_modbam(
+        bam, n_reads=40000, read_len=5000, coverage=25.0, seed=1
+    )
+    reader = BamReader(bam)
+    contig = stats["contig_len"]
+    total = 0
+    for start in range(0, contig, 100_000):
+        end = min(start + 100_000, contig)
+        names = [r.name for r in reader.fetch(0, start, end)]
+        assert len(names) == len(set(names)), (start, end)
+        want = native.decode_tile(
+            reader.fetch_chunks_raw(0, start, end), 0, start, end
+        )
+        got = native.decode_tile_bgzf(
+            reader.bam_raw,
+            reader.fetch_chunk_voffsets(0, start, end),
+            0, start, end,
+        )
+        assert got.n_used == want.n_used, (start, end)
+        total += got.n_used
+    assert total >= 40000  # boundary reads decode once per spanned tile

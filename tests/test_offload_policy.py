@@ -89,6 +89,11 @@ def test_host_rate_probe_and_policy_log(monkeypatch, caplog):
     monkeypatch.setenv("MODKIT_TPU_OFFLOAD", "auto")
     monkeypatch.setattr(dv, "_bw_cache", 10e9)
     monkeypatch.setattr(dv, "_policy_logged", False)
+    # init_logging (run by earlier tests) sets propagate=False, which would
+    # hide records from caplog's root handler
+    monkeypatch.setattr(
+        logging.getLogger("modkit_tpu"), "propagate", True
+    )
     with caplog.at_level(logging.INFO, logger="modkit_tpu"):
         dv.offload_events_to_device(1_000_000, 5.0)
         dv.offload_events_to_device(1_000_000, 5.0)
