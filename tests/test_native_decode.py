@@ -27,25 +27,38 @@ pytestmark = pytest.mark.skipif(
 
 def python_tile_assembly(
     reader, tid, start, end, *, collapse=None, edge_filter=None,
-    force_allow=False, focus_rule=None,
+    force_allow=False, focus_rule=None, cache=None,
 ):
     """Reference (oracle) implementation of the tile assembly, mirroring
-    TileProcessor.launch_tile's Python path without caching."""
+    TileProcessor.launch_tile's Python path. ``cache`` memoizes the
+    per-read decode across tiles of a sweep (read_to_events is tile-
+    independent, exactly like the production TileProcessor cache)."""
     reads = []
     n_used = n_skipped = 0
     errors = {}
     for rec in reader.fetch(tid, start, end):
         if rec.is_not_primary or rec.l_seq == 0:
             continue
-        try:
-            ev = read_to_events(
-                rec, collapse_methods=collapse, edge_filter=edge_filter,
-                force_allow=force_allow,
-            )
+        key = (tid, rec.name, rec.pos, rec.flag)
+        hit = cache.get(key) if cache is not None else None
+        if hit is not None:
+            ev, err_kind = hit
+        else:
+            try:
+                ev = read_to_events(
+                    rec, collapse_methods=collapse, edge_filter=edge_filter,
+                    force_allow=force_allow,
+                )
+                err_kind = None
+            except ModKitError as e:
+                err_kind = e.kind
+                ev = skipped_read_events(rec)
+            if cache is not None:
+                cache[key] = (ev, err_kind)
+        if err_kind is None:
             n_used += 1
-        except ModKitError as e:
-            errors[e.kind] = errors.get(e.kind, 0) + 1
-            ev = skipped_read_events(rec)
+        else:
+            errors[err_kind] = errors.get(err_kind, 0) + 1
             n_skipped += 1
         reads.append(ev)
 
@@ -138,8 +151,8 @@ def python_tile_assembly(
     )
 
 
-def compare_tile(reader, tid, start, end, **opts):
-    py = python_tile_assembly(reader, tid, start, end, **opts)
+def compare_tile(reader, tid, start, end, cache=None, **opts):
+    py = python_tile_assembly(reader, tid, start, end, cache=cache, **opts)
     nt = native.decode_tile(
         reader.fetch_chunks_raw(tid, start, end), tid, start, end,
         collapse=opts.get("collapse"),
@@ -177,15 +190,32 @@ def iter_fixture_bams(resources):
             yield path
 
 
+def covered_span(reader, tid, length):
+    """[lo, hi) span of mapped records on tid (fixtures declare contigs up
+    to 83 Mbp holding 2 reads — sweeping every empty tile is pointless)."""
+    lo, hi = length, 0
+    for rec in reader.fetch(tid, 0, length):
+        lo = min(lo, rec.pos)
+        hi = max(hi, rec.reference_end())
+    return (lo, hi) if hi > lo else None
+
+
 def sweep(reader, step, **opts):
     n_reads_seen = 0
+    cache = {}  # per-sweep: opts are fixed within one sweep
     for tid, ref in enumerate(reader.header.refs):
         mapped, _ = reader.index.counts(tid)
         if not mapped:
             continue
-        for start in range(0, ref.length, step):
+        span = covered_span(reader, tid, ref.length)
+        if span is None:
+            continue
+        # include one flanking empty tile each side of the covered span
+        lo = max(0, (span[0] // step - 1) * step)
+        hi = min(ref.length, span[1] + step)
+        for start in range(lo, hi, step):
             end = min(start + step, ref.length)
-            py = compare_tile(reader, tid, start, end, **opts)
+            py = compare_tile(reader, tid, start, end, cache=cache, **opts)
             n_reads_seen += py["n_used"] + py["n_skipped"]
     return n_reads_seen
 
