@@ -565,6 +565,23 @@ def run_entropy(args) -> int:
         else int(args.num_positions * 0.5)
     )
 
+    # multi-host: genome-window mode only — each process owns window
+    # batches round-robin, writes a sentinel-framed shard, and rank 0
+    # interleaves them back (same machinery as the pileup shard path,
+    # parallel/devices.py; BASELINE.json config 5 "multi-host entropy")
+    from ..parallel.devices import (
+        maybe_init_distributed, process_info, shard_path,
+    )
+
+    maybe_init_distributed()
+    pidx, pcount = process_info()
+    shard_mode = pcount > 1
+    if shard_mode and (args.regions is not None or args.out_bed is None):
+        raise SystemExit(
+            "multi-host entropy requires an --out-bed file path and no "
+            "--regions"
+        )
+
     # output writers
     windows_header = "chrom\tstart\tend\tentropy\tstrand\tnum_reads\n"
     regions_header = (
@@ -589,8 +606,11 @@ def run_entropy(args) -> int:
             windows_out.write(windows_header)
             regions_out.write(regions_header)
     elif args.out_bed is not None:
-        windows_out = open(args.out_bed, "w")
-        if args.header:
+        path = shard_path(args.out_bed, pidx) if shard_mode else args.out_bed
+        windows_out = open(path, "w")
+        # in shard mode only rank 0 writes the header (inside its first
+        # tile block, i.e. at the top of the merged file)
+        if args.header and (not shard_mode or pidx == 0):
             windows_out.write(windows_header)
     else:
         windows_out = sys.stdout
@@ -639,22 +659,50 @@ def run_entropy(args) -> int:
             )
             n_written += 1
 
-    for tid, contig_start, raw_seq, region_name in work:
-        seq = uppercase(raw_seq)
-        chrom = header.tid2name(tid)
-        windows = list(
-            sliding_windows(
-                seq,
-                contig_start,
-                motifs,
-                combine_strands,
-                args.num_positions,
-                args.window_size,
-            )
+    batch_span = int(
+        os.environ.get(
+            "MODKIT_TPU_ENTROPY_BATCH_SPAN",
+            max(100_000, 4 * args.window_size),
         )
-        if not windows:
-            continue
-        lo = min(w.leftmost() for w in windows)
+    )
+
+    def iter_window_batches(windows_iter):
+        """Group consecutive windows into fetch batches bounded by genomic
+        span, so reads are fetched once per batch and routed only to the
+        windows they can cover — instead of offering every read to every
+        window of the contig (the reference also walks windows in interval
+        batches, entropy/mod.rs:703 SlidingWindows)."""
+        batch: list = []
+        lo = hi = 0
+        for w in windows_iter:
+            wl, wr = w.leftmost(), w.rightmost()
+            if batch and (
+                max(hi, wr) - min(lo, wl) > batch_span
+                or len(batch) >= 20000
+            ):
+                yield batch
+                batch = []
+            if not batch:
+                lo, hi = wl, wr
+            else:
+                lo, hi = min(lo, wl), max(hi, wr)
+            batch.append(w)
+        if batch:
+            yield batch
+
+    def process_batch(tid, windows):
+        """Fetch reads covering the batch span; add each to the windows it
+        fully covers. A window is eligible only when the read covers its
+        whole interval (entropy/mod.rs:219 add_read_to_patterns), so its
+        leftmost must sit in [ref_start, ref_end] — bisect on sorted
+        leftmosts; add_read re-checks the exact cover condition."""
+        from bisect import bisect_left, bisect_right
+
+        order = sorted(
+            range(len(windows)), key=lambda i: windows[i].leftmost()
+        )
+        lefts = [windows[i].leftmost() for i in order]
+        lo = lefts[0]
         hi = max(w.rightmost() for w in windows)
         for reader in readers:
             for rec in reader.fetch(tid, lo, hi):
@@ -667,10 +715,44 @@ def run_entropy(args) -> int:
                 if got is None:
                     continue
                 mod_calls, ref_start, ref_end, strand = got
-                for w in windows:
-                    w.add_read(
+                for k in range(
+                    bisect_left(lefts, ref_start),
+                    bisect_right(lefts, ref_end),
+                ):
+                    windows[order[k]].add_read(
                         mod_calls, ref_start, ref_end, strand, max_filtered
                     )
+
+    batch_idx = 0
+    for tid, contig_start, raw_seq, region_name in work:
+        seq = uppercase(raw_seq)
+        chrom = header.tid2name(tid)
+        win_iter = sliding_windows(
+            seq,
+            contig_start,
+            motifs,
+            combine_strands,
+            args.num_positions,
+            args.window_size,
+        )
+        if region_name is None:
+            # genome-window mode: stream batches (multi-host: round-robin
+            # batch ownership, sentinel per owned batch)
+            for windows in iter_window_batches(win_iter):
+                owned = not shard_mode or batch_idx % pcount == pidx
+                batch_idx += 1
+                if not owned:
+                    continue
+                process_batch(tid, windows)
+                for w in windows:
+                    write_window_rows(chrom, w.into_entropy(args.min_coverage))
+                if shard_mode:
+                    windows_out.write("\x00TILE\x00")
+            continue
+        windows = list(win_iter)
+        if not windows:
+            continue
+        process_batch(tid, windows)
         per_window = [w.into_entropy(args.min_coverage) for w in windows]
         if region_name is not None:
             # region descriptive stats (entropy/mod.rs:603-692)
@@ -723,14 +805,21 @@ def run_entropy(args) -> int:
                 stats_row(neg_es, neg_nr, neg_fails, "-")
             for rows in per_window:
                 write_window_rows(chrom, rows)
-        else:
-            for rows in per_window:
-                write_window_rows(chrom, rows)
 
     if windows_out is not sys.stdout:
         windows_out.close()
     if regions_out is not None:
         regions_out.close()
+    if shard_mode:
+        # cross-host barrier, then rank 0 interleaves the shards back into
+        # one genome-ordered bedgraph
+        from jax.experimental import multihost_utils
+
+        from ..parallel.devices import merge_shards
+
+        multihost_utils.sync_global_devices("modkit_entropy_shards")
+        if pidx == 0:
+            merge_shards(args.out_bed, pcount)
     print(
         f"finished, {n_written} rows written, {n_failed} windows failed",
         file=sys.stderr,

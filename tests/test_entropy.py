@@ -140,3 +140,36 @@ def test_entropy_windows_mode_stranded(tmp_path):
         e = float(r[3])
         assert 0.0 <= e <= 2.01  # entropy bounded by log2(alphabet)
         assert int(r[5]) >= 1
+
+
+def test_entropy_window_batches_equivalent(tmp_path, monkeypatch):
+    """Batched window processing (reads routed by bisect to the windows
+    they cover) must reproduce the unbatched output exactly — including
+    windows whose covering reads span a batch boundary."""
+    from modkit_tpu.cli import main
+
+    def run(span, name):
+        if span is None:
+            monkeypatch.delenv("MODKIT_TPU_ENTROPY_BATCH_SPAN", raising=False)
+        else:
+            monkeypatch.setenv("MODKIT_TPU_ENTROPY_BATCH_SPAN", str(span))
+        out = tmp_path / name
+        rc = main(
+            [
+                "entropy",
+                "-s", f"{RES}/bc_anchored_10_reads.sorted.bam",
+                "-o", str(out),
+                "--min-coverage", "1",
+                "--ref", f"{RES}/CGI_ladder_3.6kb_ref.fa",
+                "--cpg",
+                "--no-filtering",
+                "--header",
+                "--force",
+            ]
+        )
+        assert rc == 0
+        return out.read_bytes()
+
+    default = run(None, "default.bedgraph")
+    tiny = run(1, "tiny.bedgraph")  # one window per batch
+    assert tiny == default and default.count(b"\n") >= 6

@@ -164,3 +164,75 @@ def test_init_distributed_fails_loudly(tmp_path):
         or b"DEADLINE_EXCEEDED" in p.stderr
         or b"Terminating process" in p.stderr
     )
+
+
+_ENTROPY_DRIVER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, {repo!r})
+from modkit_tpu.cli import main
+rc = main([
+    "entropy",
+    "-s", {bam!r},
+    "-o", {out!r},
+    "--min-coverage", "1",
+    "--ref", {ref!r},
+    "--cpg",
+    "--no-filtering",
+    "--header",
+    "--force",
+])
+sys.exit(rc)
+"""
+
+
+def test_multihost_entropy_byte_equal(tmp_path, resources):
+    """Genome-window entropy sharded over 2 real processes must merge to
+    the single-process bedgraph byte-for-byte (BASELINE.json config 5:
+    multi-host entropy; window batches owned round-robin, sentinel-framed
+    shards, rank-0 merge)."""
+    bam = os.path.join(resources, "bc_anchored_10_reads.sorted.bam")
+    ref = os.path.join(resources, "CGI_ladder_3.6kb_ref.fa")
+    driver = tmp_path / "entropy_driver.py"
+    port = _free_port()
+
+    def run(nproc_env, pidx, out):
+        driver.write_text(
+            _ENTROPY_DRIVER.format(repo=REPO, bam=bam, ref=ref, out=str(out))
+        )
+        env = dict(os.environ)
+        env.pop("MODKIT_TPU_DEVICES", None)
+        # small batches so several window batches exist on the 3.6 kb ref
+        env["MODKIT_TPU_ENTROPY_BATCH_SPAN"] = "200"
+        if nproc_env > 1:
+            env["MODKIT_TPU_COORD"] = f"localhost:{port}"
+            env["MODKIT_TPU_NPROC"] = str(nproc_env)
+            env["MODKIT_TPU_PROC_ID"] = str(pidx)
+        else:
+            env.pop("MODKIT_TPU_COORD", None)
+        return subprocess.Popen(
+            [sys.executable, str(driver)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    single_out = tmp_path / "single.bedgraph"
+    p = run(1, 0, single_out)
+    _, err = p.communicate(timeout=300)
+    assert p.returncode == 0, err.decode()
+
+    multi_out = tmp_path / "multi.bedgraph"
+    procs = [run(2, i, multi_out) for i in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()
+
+    single = single_out.read_bytes()
+    assert multi_out.read_bytes() == single
+    assert single.startswith(b"chrom\t")
+    assert single.count(b"chrom\t") == 1
+    for i in range(2):
+        assert not os.path.exists(shard_path(str(multi_out), i))
