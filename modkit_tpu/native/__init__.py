@@ -156,6 +156,14 @@ def load():
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.mk_bincount_full.restype = None
+            lib.mk_bincount_full.argtypes = [
+                ctypes.POINTER(_MkTileOut),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int32,
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             lib.mk_threshold_states.restype = None
             lib.mk_threshold_states.argtypes = [
                 ctypes.POINTER(_MkTileOut),
@@ -484,6 +492,23 @@ class NativeTile:
             states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         return states
+
+    def bincount_full(self, states: np.ndarray, m_pad: int) -> np.ndarray:
+        """Histogram per-event states straight into the FULL count tensor
+        [p, 2, 6 + 4*(m_pad+1)] including the nocall/delete channels —
+        one native pass, no numpy zeros/slice copies (assemble_counts
+        fast path)."""
+        K = 6 + 4 * (m_pad + 1)
+        counts = np.empty((self._p, 2, K), dtype=np.int32)
+        states = np.ascontiguousarray(states, dtype=np.uint8)
+        self._lib.mk_bincount_full(
+            ctypes.byref(self._out),
+            states.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            m_pad,
+            self._p,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return counts
 
     def bincount_states(self, states: np.ndarray, m_pad: int) -> np.ndarray:
         """Histogram device-computed per-event states into the mod-call

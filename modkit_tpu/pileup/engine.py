@@ -557,8 +557,12 @@ class TileProcessor:
                 )
         else:
             modc = np.zeros((p, 2, 1 + 4 * (m_pad + 1)), dtype=np.int32)
+        # with per-event states the nc/del channels come out of
+        # bincount_full directly — skip the host copies at launch
+        nc = res.nc_counts if states is None else None
+        dl = res.del_counts if states is None else None
         return TilePending(
-            modc, res.nc_counts, res.del_counts, None, vocab, start, p,
+            modc, nc, dl, None, vocab, start, p,
             focus, native=res, states=states, m_pad=m_pad,
         )
 
@@ -567,11 +571,12 @@ class TileProcessor:
         histograms into the full count tensor [p, 2, 6 + 4*(m_pad+1)]."""
         p = pending.p
         if pending.states is not None:
-            # device returned per-event states; histogram them natively
+            # per-event states (device- or host-computed): one native pass
+            # histograms them straight into the full count layout,
+            # including the nocall/delete channels
             states = np.asarray(pending.states)
-            modc = pending.native.bincount_states(states, pending.m_pad)
-        else:
-            modc = np.asarray(pending.modc)[:p]
+            return pending.native.bincount_full(states, pending.m_pad)
+        modc = np.asarray(pending.modc)[:p]
         m_pad = (modc.shape[2] - 1) // 4 - 1
         k = 6 + 4 * (m_pad + 1)
         counts = np.zeros((p, 2, k), dtype=np.int32)

@@ -158,11 +158,18 @@ class BedMethylWriter:
         self._fh.write("".join(buf))
 
     def write_formatted(self, formatted) -> None:
-        """Emit a FormattedRows batch (text already rendered natively)."""
+        """Emit a FormattedRows batch (text already rendered natively).
+        Writes the bytes through the underlying binary buffer when there
+        is one — skipping a decode + re-encode of multi-MB row blocks."""
         if formatted.n_rows == 0:
             return
         self.rows_written += formatted.n_rows
-        self._fh.write(formatted.text.decode("ascii"))
+        buf = getattr(self._fh, "buffer", None)
+        if buf is not None:
+            self._fh.flush()
+            buf.write(formatted.text)
+        else:
+            self._fh.write(formatted.text.decode("ascii"))
 
     def write_tile_sentinel(self) -> None:
         """Tile-boundary marker for multi-host shard files; stripped by

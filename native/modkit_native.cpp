@@ -406,9 +406,11 @@ Group merge_pieces(char base, int strand, std::vector<Piece>& plist) {
     for (size_t j = 0; j < pm; ++j)
       cols[j] = std::find(g.codes.begin(), g.codes.end(), p.codes[j]) -
                 g.codes.begin();
+    // two-pointer walk: p.pos is sorted and a subset of g.pos, so the
+    // row cursor only moves forward (O(n) vs per-position lower_bound)
+    size_t row = 0;
     for (size_t i = 0; i < p.pos.size(); ++i) {
-      size_t row = std::lower_bound(g.pos.begin(), g.pos.end(), p.pos[i]) -
-                   g.pos.begin();
+      while (g.pos[row] < p.pos[i]) ++row;
       if (seen[row]) {
         // explicit/inferred flag mismatch at a shared position -> conflict
         if ((g.inferred[row] != 0) != p.inferred) throw MkError{E_CONFLICT_INF};
@@ -461,6 +463,7 @@ ModInfo decode_read_mods(const std::vector<uint8_t>& fwd, const char* raw_mm,
     if (!occ_done[s]) {
       char want = (fb == 'U') ? 'T' : fb;
       auto& v = occ_cache[s];
+      v.reserve(fwd.size() / 3);
       for (size_t i = 0; i < fwd.size(); ++i)
         if ((char)fwd[i] == want) v.push_back((int32_t)i);
       occ_done[s] = true;
@@ -929,6 +932,8 @@ ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
         sg.base = (int8_t)threshold_b;
         sg.cols = cols;
         sg.gm = gm;
+        sg.rpos.reserve(positions.size());
+        sg.probs.reserve(positions.size() * gm);
         size_t k = 0;
         for (size_t i = 0; i < positions.size(); ++i) {
           while (k < ncol && qf[k] < positions[i]) ++k;
@@ -1125,7 +1130,9 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
   bufs->ev_rpos.reserve(n_ev_total);
   bufs->ev_strand.reserve(n_ev_total);
   bufs->ev_base.reserve(n_ev_total);
-  bufs->ev_probs.reserve(n_ev_total * m);
+  // one bulk fill; rows are claimed by cursor (kept events only) and the
+  // buffer trimmed afterwards — avoids a resize() call per event
+  bufs->ev_probs.assign(n_ev_total * m, -1.0f);
 
   bufs->nc_counts.assign((size_t)p_len * 2 * 4, 0);
   bufs->del_counts.assign((size_t)p_len * 2, 0);
@@ -1170,10 +1177,9 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
       bufs->ev_rpos.push_back((int32_t)li);
       bufs->ev_strand.push_back(ev.mod_out[i]);
       bufs->ev_base.push_back(ev.mod_base[i]);
-      size_t base_off = bufs->ev_probs.size();
-      bufs->ev_probs.resize(base_off + m, -1.0f);
-      for (size_t j = 0; j < rm; ++j)
-        bufs->ev_probs[base_off + cols[j]] = ev.mod_probs[i * rm + j];
+      float* dst = bufs->ev_probs.data() + (bufs->ev_rpos.size() - 1) * m;
+      const float* src = ev.mod_probs.data() + i * rm;
+      for (size_t j = 0; j < rm; ++j) dst[cols[j]] = src[j];
     }
     // nocall histogram
     for (size_t i = 0; i < ev.nc_rpos.size(); ++i) {
@@ -1204,18 +1210,24 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
       for (auto& reg : ev.registered) {
         int64_t sk = reg[0], tb = reg[1];
         size_t col = vindex(reg[2]);
+        size_t chan = ((size_t)sk * 4 + tb) * m + col;
+        size_t stride = 2 * 4 * m;
         for (auto& iv : ev.cover) {
           int64_t a2 = std::max(iv.first - start, (int64_t)0);
           int64_t b2 = std::min(iv.second - start, p_len);
-          for (int64_t x = a2; x < b2; ++x) {
-            if (use_depth && !adm[x]) continue;
-            bufs->observed[(((size_t)x * 2 + sk) * 4 + tb) * m + col] = 1;
+          uint8_t* obs = bufs->observed.data() + chan;
+          if (!use_depth) {
+            for (int64_t x = a2; x < b2; ++x) obs[(size_t)x * stride] = 1;
+          } else {
+            for (int64_t x = a2; x < b2; ++x)
+              if (adm[x]) obs[(size_t)x * stride] = 1;
           }
         }
       }
     }
   }
 
+  bufs->ev_probs.resize(bufs->ev_rpos.size() * m);  // trim unclaimed rows
   out->n_events = (int64_t)bufs->ev_rpos.size();
   out->m = (int32_t)m;
   out->ev_rpos = bufs->ev_rpos.data();
@@ -1533,6 +1545,39 @@ void mk_bincount_states(const MkTileOut* out, const uint8_t* states,
   }
 }
 
+// Fused histogram straight into the FULL count-tensor layout
+// [p, 2, 6 + 4*(m_pad+1)] (engine.assemble_counts without the numpy
+// zeros + three slice copies): ch0 = deletes, ch1 = filtered,
+// ch2..5 = per-base nocall, body at 6 + base*(m_pad+1) + state-1.
+void mk_bincount_full(const MkTileOut* out, const uint8_t* states,
+                      int32_t m_pad, int64_t p, int32_t* counts) {
+  const auto* bufs = static_cast<const TileBuffers*>(out->handle);
+  int32_t K = 6 + 4 * (m_pad + 1);
+  std::memset(counts, 0, (size_t)p * 2 * K * sizeof(int32_t));
+  int64_t n = out->n_events;
+  for (int64_t i = 0; i < n; ++i) {
+    uint8_t st = states[i];
+    int32_t counter =
+        (st == 0) ? 1
+                  : 6 + (int32_t)bufs->ev_base[i] * (m_pad + 1) + (st - 1);
+    counts[((int64_t)bufs->ev_rpos[i] * 2 + bufs->ev_strand[i]) * K +
+           counter]++;
+  }
+  if (out->n_nc && !bufs->nc_counts.empty()) {
+    for (int64_t x = 0; x < p * 2; ++x) {
+      const int32_t* src = bufs->nc_counts.data() + x * 4;
+      int32_t* dst = counts + x * K + 2;
+      dst[0] = src[0];
+      dst[1] = src[1];
+      dst[2] = src[2];
+      dst[3] = src[3];
+    }
+  }
+  if (out->n_del && !bufs->del_counts.empty()) {
+    for (int64_t x = 0; x < p * 2; ++x) counts[x * K] = bufs->del_counts[x];
+  }
+}
+
 // Host-side threshold-call states over a decoded tile's events: the C++
 // mirror of ops/pileup_counts.threshold_states (semantics of
 // MultipleThresholdModCaller::call, threshold_mod_caller.rs:28) used by the
@@ -1590,24 +1635,47 @@ int32_t mk_format_rows(const int32_t* counts, int64_t p, int32_t k,
                        char** out_buf, int64_t* out_len, int64_t* out_rows) {
   int32_t m_pad = (k - 6) / 4 - 1;
   std::string buf;
-  buf.reserve((size_t)p * 32);
+  buf.reserve((size_t)p * 64);
   int64_t rows = 0;
   size_t chrom_len = std::strlen(chrom);
-  char tmp[32];
   static const char* ANY_MOD = "ACGT";  // any-mod code label per base
 
-  auto put_i64 = [&](int64_t v) {
-    int len = 0;
+  // row tail is assembled in a local buffer with one append per row;
+  // digits + separators + label bound stays far under the slack
+  char line[512];
+  auto put_u = [](char* q, int64_t v) -> char* {
     if (v == 0) {
-      buf.push_back('0');
-      return;
+      *q++ = '0';
+      return q;
     }
-    char d[24];
+    char d[20];
+    int len = 0;
     while (v > 0) {
       d[len++] = (char)('0' + v % 10);
       v /= 10;
     }
-    while (len) buf.push_back(d[--len]);
+    while (len) *q++ = d[--len];
+    return q;
+  };
+
+  // percent strings repeat heavily at uniform coverage — memoize the
+  // snprintf("%.2f") by (n_mod, valid) in a small direct-mapped cache
+  struct PctSlot {
+    uint64_t key = ~0ull;
+    uint8_t len = 0;
+    char s[15];
+  };
+  std::vector<PctSlot> pct(4096);
+  auto put_pct = [&](char* q, int64_t n_mod, int64_t valid) -> char* {
+    uint64_t key = ((uint64_t)n_mod << 32) | (uint64_t)(uint32_t)valid;
+    PctSlot& c = pct[(key * 0x9E3779B97F4A7C15ull) >> 52];
+    if (c.key != key) {
+      float frac = ((float)n_mod / (float)valid) * 100.0f;
+      c.len = (uint8_t)snprintf(c.s, sizeof(c.s), "%.2f", (double)frac);
+      c.key = key;
+    }
+    std::memcpy(q, c.s, c.len);
+    return q + c.len;
   };
 
   for (int64_t pi = 0; pi < p; ++pi) {
@@ -1635,43 +1703,46 @@ int32_t mk_format_rows(const int32_t* counts, int64_t p, int32_t k,
                       int64_t n_nocall) {
         int64_t n_diff =
             (total_valid - valid) + (total_nocall - n_nocall);
-        float frac = ((float)n_mod / (float)valid) * 100.0f;
         buf.append(chrom, chrom_len);
-        buf.push_back('\t');
-        put_i64(tile_start + pi);
-        buf.push_back('\t');
-        put_i64(tile_start + pi + 1);
-        buf.push_back('\t');
-        buf.append(name, name_len);
-        buf.push_back('\t');
-        put_i64(valid);
-        buf.push_back('\t');
-        buf.push_back(s == 0 ? '+' : '-');
-        buf.push_back('\t');
-        put_i64(tile_start + pi);
-        buf.push_back('\t');
-        put_i64(tile_start + pi + 1);
-        buf.push_back('\t');
-        buf.append("255,0,0\t", 8);
-        put_i64(valid);
-        buf.push_back(space_ch);
-        int pl = snprintf(tmp, sizeof(tmp), "%.2f", (double)frac);
-        buf.append(tmp, pl);
-        buf.push_back(space_ch);
-        put_i64(n_mod);
-        buf.push_back(space_ch);
-        put_i64(n_can);
-        buf.push_back(space_ch);
-        put_i64(n_other);
-        buf.push_back(space_ch);
-        put_i64(n_del);
-        buf.push_back(space_ch);
-        put_i64(n_filt);
-        buf.push_back(space_ch);
-        put_i64(n_diff);
-        buf.push_back(space_ch);
-        put_i64(n_nocall);
-        buf.push_back('\n');
+        char* q = line;
+        *q++ = '\t';
+        q = put_u(q, tile_start + pi);
+        *q++ = '\t';
+        q = put_u(q, tile_start + pi + 1);
+        *q++ = '\t';
+        if (name_len > 64) name_len = 64;  // labels are short mod codes
+        std::memcpy(q, name, name_len);
+        q += name_len;
+        *q++ = '\t';
+        q = put_u(q, valid);
+        *q++ = '\t';
+        *q++ = (s == 0 ? '+' : '-');
+        *q++ = '\t';
+        q = put_u(q, tile_start + pi);
+        *q++ = '\t';
+        q = put_u(q, tile_start + pi + 1);
+        *q++ = '\t';
+        std::memcpy(q, "255,0,0\t", 8);
+        q += 8;
+        q = put_u(q, valid);
+        *q++ = space_ch;
+        q = put_pct(q, n_mod, valid);
+        *q++ = space_ch;
+        q = put_u(q, n_mod);
+        *q++ = space_ch;
+        q = put_u(q, n_can);
+        *q++ = space_ch;
+        q = put_u(q, n_other);
+        *q++ = space_ch;
+        q = put_u(q, n_del);
+        *q++ = space_ch;
+        q = put_u(q, n_filt);
+        *q++ = space_ch;
+        q = put_u(q, n_diff);
+        *q++ = space_ch;
+        q = put_u(q, n_nocall);
+        *q++ = '\n';
+        buf.append(line, (size_t)(q - line));
         ++rows;
       };
 
