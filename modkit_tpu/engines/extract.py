@@ -390,6 +390,60 @@ def run_extract(
     if include_header:
         fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
     n_reads = 0
+
+    # native streaming fast path: whole-file `extract full` with no
+    # position filters decodes + formats in C++ spans (native
+    # mk_extract_span; byte-identical to full_rows —
+    # tests/test_native_extract.py)
+    if (
+        mode == "full"
+        and num_reads is None
+        and region is None
+        and include_filter is None
+        and exclude_filter is None
+        and motif_sets is None
+        and hasattr(reader, "bam_raw")
+    ):
+        from .. import native as _native
+
+        if _native.available():
+            import os as _os
+
+            from ..logging import ProgressTicker
+
+            def _write_bytes(b):
+                buf = getattr(fh, "buffer", None)
+                if buf is not None:
+                    fh.flush()
+                    buf.write(b)
+                else:
+                    fh.write(b.decode("ascii"))
+
+            ticker = ProgressTicker(
+                "processing reads:", suppress=fh is sys.stdout
+            )
+            tid_names = [r.name for r in reader.header.refs]
+            for text, nr, errs in _native.extract_full_stream(
+                reader.bam_raw,
+                tid_names,
+                ref_seqs=ref_seqs,
+                kmer_size=kmer_size,
+                mapped_only=mapped_only,
+                allow_non_primary=allow_non_primary,
+                edge_filter=edge_filter,
+                collapse=list(collapse) if collapse else None,
+                n_threads=max(1, min(threads, _os.cpu_count() or 1)),
+            ):
+                _write_bytes(text)
+                n_reads += nr
+                for k, v in errs.items():
+                    errors[k] += v
+                ticker.update(reads=n_reads)
+            ticker.finish(reads=n_reads)
+            if close:
+                fh.close()
+            return dict(reads=n_reads, errors=dict(errors))
+
     if region is not None:
         from ..pileup.runner import parse_region
 

@@ -63,6 +63,19 @@ class _MkTileOut(ctypes.Structure):
     ]
 
 
+class _MkExtractOut(ctypes.Structure):
+    _fields_ = [
+        ("text", ctypes.c_void_p),
+        ("text_len", ctypes.c_int64),
+        ("carry", ctypes.c_void_p),
+        ("carry_len", ctypes.c_int64),
+        ("next_off", ctypes.c_int64),
+        ("n_reads", ctypes.c_int32),
+        ("eof", ctypes.c_int32),
+        ("err_counts", ctypes.c_int64 * 16),
+    ]
+
+
 class _MkGroupsOut(ctypes.Structure):
     _fields_ = [
         ("rc", ctypes.c_int32),
@@ -190,6 +203,25 @@ def load():
             ]
             lib.mk_free_buf.restype = None
             lib.mk_free_buf.argtypes = [ctypes.c_void_p]
+            lib.mk_extract_span.restype = ctypes.c_int32
+            lib.mk_extract_span.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.c_int64, ctypes.c_int64,    # start_off, max_comp
+                ctypes.c_char_p, ctypes.c_int64,   # carry, carry_len
+                ctypes.c_int32,                    # parse_header
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_char_p),   # ref_seqs (or None)
+                ctypes.POINTER(ctypes.c_int64),    # ref_lens
+                ctypes.c_int32,                    # kmer_size
+                ctypes.c_int32, ctypes.c_int32,    # mapped_only, allow_np
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,                    # edge args
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
+                ctypes.c_int32,                    # n_threads
+                ctypes.POINTER(_MkExtractOut),
+            ]
+            lib.mk_free_extract.restype = None
+            lib.mk_free_extract.argtypes = [ctypes.POINTER(_MkExtractOut)]
             lib.mk_bench_event_rate.restype = ctypes.c_double
             lib.mk_bench_event_rate.argtypes = [
                 ctypes.c_int64, ctypes.c_int32,
@@ -691,3 +723,95 @@ def format_rows(
     finally:
         lib.mk_free_buf(buf)
     return text, int(rows.value)
+
+
+def extract_full_stream(
+    raw: bytes,
+    tid_names: list,
+    *,
+    ref_seqs: dict | None = None,
+    kmer_size: int = 5,
+    mapped_only: bool = False,
+    allow_non_primary: bool = False,
+    edge_filter=None,
+    collapse=None,
+    n_threads: int | None = None,
+    span_comp_bytes: int = 8 << 20,
+):
+    """Stream `extract full` TSV row blocks from the compressed BAM bytes.
+
+    Yields (text_bytes, n_reads, errors_dict) per ~span_comp_bytes span of
+    the compressed stream; rows are byte-identical to the Python
+    engines.extract.full_rows path (tests/test_native_extract.py).
+    ``ref_seqs`` maps contig NAME -> uint8 numpy sequence (adds ref_kmer).
+    """
+    lib = load()
+    if lib is None:
+        return
+    n_tids = len(tid_names)
+    NameArr = ctypes.c_char_p * max(n_tids, 1)
+    c_names = NameArr(*[str(n).encode() for n in tid_names])
+    c_refs = None
+    c_lens = None
+    keep_refs = []
+    if ref_seqs is not None:
+        c_refs = NameArr()
+        lens = np.zeros(max(n_tids, 1), dtype=np.int64)
+        for i, name in enumerate(tid_names):
+            seq = ref_seqs.get(str(name))
+            if seq is None:
+                continue
+            arr = np.ascontiguousarray(seq, dtype=np.uint8)
+            keep_refs.append(arr)
+            c_refs[i] = ctypes.cast(
+                arr.ctypes.data_as(ctypes.c_void_p), ctypes.c_char_p
+            )
+            lens[i] = len(arr)
+        c_lens = lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    blob = encode_collapse(collapse)
+    c_blob = blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    has_edge = edge_filter is not None
+    nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
+
+    off = 0
+    carry = b""
+    first = True
+    while True:
+        out = _MkExtractOut()
+        rc = lib.mk_extract_span(
+            raw, len(raw), off, span_comp_bytes, carry, len(carry),
+            1 if first else 0, c_names, n_tids, c_refs, c_lens,
+            kmer_size, 1 if mapped_only else 0,
+            1 if allow_non_primary else 0,
+            1 if has_edge else 0,
+            edge_filter.start_trim if has_edge else 0,
+            edge_filter.end_trim if has_edge else 0,
+            1 if (has_edge and edge_filter.inverted) else 0,
+            c_blob, len(blob), nt, ctypes.byref(out),
+        )
+        if rc != 0:
+            raise RuntimeError(f"mk_extract_span failed rc={rc}")
+        try:
+            text = (
+                ctypes.string_at(out.text, out.text_len)
+                if out.text_len
+                else b""
+            )
+            carry = (
+                ctypes.string_at(out.carry, out.carry_len)
+                if out.carry_len
+                else b""
+            )
+            errors = {
+                ERR_KINDS[i]: int(out.err_counts[i])
+                for i in range(len(ERR_KINDS))
+                if out.err_counts[i]
+            }
+            yield text, int(out.n_reads), errors
+            eof = bool(out.eof)
+            off = out.next_off
+        finally:
+            lib.mk_free_extract(ctypes.byref(out))
+        first = False
+        if eof:
+            break

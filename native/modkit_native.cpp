@@ -21,6 +21,7 @@
 #include <algorithm>
 #include <array>
 #include <atomic>
+#include <charconv>
 #include <chrono>
 #include <zlib.h>
 #include <cmath>
@@ -30,6 +31,7 @@
 #include <cstring>
 #include <string>
 #include <thread>
+#include <unordered_map>
 #include <vector>
 
 namespace {
@@ -1963,6 +1965,633 @@ int32_t mk_read_groups(const uint8_t* rec_buf, int64_t rec_len,
 void mk_free_groups(MkGroupsOut* out) {
   delete static_cast<GroupsBuffers*>(out->handle);
   out->handle = nullptr;
+}
+
+// ------------------------------------------------- streaming extract full
+// Native fast path of `extract full` (engines/extract.py full_rows):
+// spans of the compressed BAM stream decode + format in one call, records
+// split across an internal thread pool, rows byte-identical to the Python
+// path (tests/test_native_extract.py). Partial records at the span tail
+// return as carry bytes for the next call.
+
+static char* put_u_ex(char* q, int64_t v) {
+  if (v < 0) {
+    *q++ = '-';
+    v = -v;
+  }
+  if (v == 0) {
+    *q++ = '0';
+    return q;
+  }
+  char d[20];
+  int len = 0;
+  while (v > 0) {
+    d[len++] = (char)('0' + v % 10);
+    v /= 10;
+  }
+  while (len) *q++ = d[--len];
+  return q;
+}
+
+static char* put_code_ex(char* q, Code c) {
+  if (c < 0) {
+    *q++ = (char)(-c);
+    return q;
+  }
+  return put_u_ex(q, c);
+}
+
+// Shortest round-trip f32 decimal with HALF-UP tie rounding, fixed
+// notation — the exact algorithm of writers._format_float_cached (which
+// matches Rust f32 Display/ryu; std::to_chars breaks decimal ties the
+// other way, e.g. 78.5/256 -> "0.30664062" instead of "0.30664063").
+static std::string format_f32_rust(float v) {
+  if (v == 0.0f) return "0";
+  if (std::isnan(v)) return "NaN";
+  if (std::isinf(v)) return v > 0 ? "inf" : "-inf";
+  bool neg = v < 0.0f;
+  double d = std::fabs((double)v);
+  int e2;
+  double frac = std::frexp(d, &e2);
+  // f32 mantissa fits far inside 2^53: M is exact
+  int64_t M = (int64_t)std::ldexp(frac, 53);
+  e2 -= 53;
+  // exact decimal digits of |v| = M * 2^e2 as digitsInteger * 10^exp10
+  std::vector<uint8_t> dig;
+  for (int64_t m = M; m > 0; m /= 10) dig.push_back((uint8_t)(m % 10));
+  std::reverse(dig.begin(), dig.end());
+  auto mul_small = [&](int f) {
+    int carry = 0;
+    for (int i = (int)dig.size() - 1; i >= 0; --i) {
+      int x = dig[i] * f + carry;
+      dig[i] = (uint8_t)(x % 10);
+      carry = x / 10;
+    }
+    while (carry) {
+      dig.insert(dig.begin(), (uint8_t)(carry % 10));
+      carry /= 10;
+    }
+  };
+  int exp10 = 0;
+  if (e2 > 0) {
+    for (int i = 0; i < e2; ++i) mul_small(2);
+  } else {
+    for (int i = 0; i < -e2; ++i) mul_small(5);
+    exp10 = e2;
+  }
+  // strip leading zeros (none expected) — adj = exponent of leading digit
+  int adj = (int)dig.size() - 1 + exp10;
+  char buf[128];
+  for (int digits = 1; digits <= 12; ++digits) {
+    // round to `digits` significant figures, half-up
+    std::vector<uint8_t> kept(
+        dig.begin(),
+        dig.begin() + std::min((size_t)digits, dig.size()));
+    while ((int)kept.size() < digits) kept.push_back(0);
+    int kadj = adj;
+    if ((size_t)digits < dig.size() && dig[digits] >= 5) {
+      int i = digits - 1;
+      for (; i >= 0; --i) {
+        if (kept[i] == 9) {
+          kept[i] = 0;
+        } else {
+          kept[i]++;
+          break;
+        }
+      }
+      if (i < 0) {
+        kept.insert(kept.begin(), 1);
+        kept.pop_back();
+        kadj += 1;
+      }
+    }
+    // normalize: strip trailing zeros
+    int n = (int)kept.size();
+    while (n > 1 && kept[n - 1] == 0) --n;
+    // render fixed
+    char* w = buf;
+    if (neg) *w++ = '-';
+    if (kadj >= 0) {
+      for (int i = 0; i <= kadj; ++i)
+        *w++ = (char)('0' + (i < n ? kept[i] : 0));
+      if (n > kadj + 1) {
+        *w++ = '.';
+        for (int i = kadj + 1; i < n; ++i) *w++ = (char)('0' + kept[i]);
+      }
+    } else {
+      *w++ = '0';
+      *w++ = '.';
+      for (int i = 0; i < -kadj - 1; ++i) *w++ = '0';
+      for (int i = 0; i < n; ++i) *w++ = (char)('0' + kept[i]);
+    }
+    *w = '\0';
+    if (strtof(buf, nullptr) == v) return std::string(buf, w);
+  }
+  // unreachable for finite f32 (9 significant digits always round-trip)
+  snprintf(buf, sizeof(buf), "%.9g", (double)v);
+  return buf;
+}
+
+static char* put_f32_ex(char* q, float v) {
+  // distinct probability values are few (raw ML bytes + collapse
+  // arithmetic) — memoize by bit pattern in a direct-mapped cache
+  struct Slot {
+    uint32_t bits = 0xFFFFFFFFu;
+    uint8_t len = 0;
+    char s[48];
+  };
+  thread_local std::vector<Slot> memo(8192);
+  uint32_t bits;
+  std::memcpy(&bits, &v, 4);
+  Slot& c = memo[(bits * 2654435761u) >> 19];
+  if (c.bits != bits) {
+    std::string s = format_f32_rust(v);
+    if (s.size() > sizeof(c.s)) {  // huge magnitudes: bypass the cache
+      std::memcpy(q, s.data(), s.size());
+      return q + s.size();
+    }
+    c.len = (uint8_t)s.size();
+    std::memcpy(c.s, s.data(), c.len);
+    c.bits = bits;
+  }
+  std::memcpy(q, c.s, c.len);
+  return q + c.len;
+}
+
+static char compl_ch(char b) {
+  switch (b) {
+    case 'A': return 'T';
+    case 'C': return 'G';
+    case 'G': return 'C';
+    case 'T': return 'A';
+    case '-': return '-';
+    default: return b;
+  }
+}
+
+struct ExtractOpts {
+  DecodeOpts dec;  // edge + collapse (force_allow unused by extract)
+  int32_t kmer_size = 5;
+  bool mapped_only = false, allow_non_primary = false;
+};
+
+// per-read row formatting (full_rows semantics)
+static void extract_read_rows(
+    const Rec& r, const ExtractOpts& opts,
+    const std::vector<std::string>& tid_names,
+    const char* const* ref_seqs, const int64_t* ref_lens, int32_t n_tids,
+    std::string& out, int64_t err_counts[16]) {
+  std::vector<uint8_t> fwd;
+  forward_seq(r, fwd);
+  ModInfo info;
+  try {
+    AuxTags aux = scan_aux(r);
+    if (aux.bad) throw MkError{E_INVALID_MM};
+    const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+    if (!mm.present) throw MkError{E_MM_MISSING};
+    if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+    const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+    if (!ml.present) throw MkError{E_ML_MISSING};
+    if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+    if (aux.mn_present) {
+      if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+      if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+    } else if (r.is_not_primary()) {
+      throw MkError{E_NON_PRIMARY_MN};
+    }
+    info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+  } catch (const MkError& e) {
+    err_counts[e.kind]++;
+    return;
+  }
+
+  // per-group post-processing (edge filter then collapse), keeping the
+  // iter_groups order (strand 0 groups first-seen, then strand 1)
+  struct GView {
+    char base;
+    int strand;
+    std::vector<Code> codes;
+    std::vector<int32_t> pos;
+    std::vector<float> probs;
+    std::vector<uint8_t> inferred;
+  };
+  std::vector<GView> gs;
+  for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+    for (auto& g : info.groups) {
+      if (g.mod_strand != strand_pass) continue;
+      GView v;
+      v.base = g.base;
+      v.strand = g.mod_strand;
+      v.codes = g.codes;
+      v.pos = g.pos;
+      v.probs = g.probs;
+      v.inferred = g.inferred;
+      size_t gm = v.codes.size();
+      if (opts.dec.has_edge) {
+        if ((int64_t)r.l_seq <=
+            opts.dec.edge_start + opts.dec.edge_end)
+          continue;
+        int64_t lo = opts.dec.edge_start;
+        int64_t hi = (int64_t)r.l_seq - opts.dec.edge_end;
+        std::vector<int32_t> np_;
+        std::vector<float> npr;
+        std::vector<uint8_t> ninf;
+        for (size_t i = 0; i < v.pos.size(); ++i) {
+          bool inside = v.pos[i] >= lo && v.pos[i] < hi;
+          bool keepi = opts.dec.edge_inverted ? !inside : inside;
+          if (keepi) {
+            np_.push_back(v.pos[i]);
+            ninf.push_back(v.inferred[i]);
+            for (size_t j = 0; j < gm; ++j)
+              npr.push_back(v.probs[i * gm + j]);
+          }
+        }
+        if (np_.empty()) continue;
+        v.pos = std::move(np_);
+        v.probs = std::move(npr);
+        v.inferred = std::move(ninf);
+      }
+      for (const auto& op : opts.dec.collapse)
+        apply_collapse(v.codes, v.probs, gm, v.pos.size(), op);
+      gs.push_back(std::move(v));
+    }
+  }
+
+  // merged entry order: stable sort by qpos (descending for reverse)
+  struct Ent {
+    int32_t qpos;
+    uint32_t gi, pi;
+  };
+  std::vector<Ent> ents;
+  for (uint32_t gi = 0; gi < gs.size(); ++gi)
+    for (uint32_t pi = 0; pi < gs[gi].pos.size(); ++pi)
+      ents.push_back({gs[gi].pos[pi], gi, pi});
+  bool rev = r.is_reverse();
+  std::stable_sort(ents.begin(), ents.end(),
+                   [rev](const Ent& a, const Ent& b) {
+                     return rev ? a.qpos > b.qpos : a.qpos < b.qpos;
+                   });
+  if (ents.empty()) return;
+
+  // alignment metadata
+  bool unmapped = r.is_unmapped();
+  int64_t clip_start = 0, clip_end = 0;
+  std::vector<int32_t> refmap;
+  if (!unmapped) {
+    const uint8_t* cg = r.cigar();
+    for (int i = 0; i < r.n_cigar; ++i) {
+      uint32_t v;
+      std::memcpy(&v, cg + 4 * i, 4);
+      if ((v & 0xF) == 4)
+        clip_start += v >> 4;
+      else
+        break;
+    }
+    for (int i = r.n_cigar - 1; i >= 0; --i) {
+      uint32_t v;
+      std::memcpy(&v, cg + 4 * i, 4);
+      if ((v & 0xF) == 4)
+        clip_end += v >> 4;
+      else
+        break;
+    }
+    if (rev) std::swap(clip_start, clip_end);
+    std::vector<int32_t> qf, rp;
+    aligned_pairs_sorted(r, qf, rp);
+    refmap.assign(r.l_seq, -1);
+    for (size_t i = 0; i < qf.size(); ++i) refmap[qf[i]] = rp[i];
+  }
+  const char* chrom = ".";
+  size_t chrom_len = 1;
+  const char* ref_seq = nullptr;
+  int64_t ref_len = 0;
+  if (!unmapped && r.ref_id >= 0 && r.ref_id < n_tids) {
+    chrom = tid_names[r.ref_id].c_str();
+    chrom_len = tid_names[r.ref_id].size();
+    if (ref_seqs != nullptr && ref_seqs[r.ref_id] != nullptr) {
+      ref_seq = ref_seqs[r.ref_id];
+      ref_len = ref_lens[r.ref_id];
+    }
+  }
+  const char* name = (const char*)r.p + 32;
+  size_t name_len = r.l_read_name > 0 ? r.l_read_name - 1 : 0;
+  const uint8_t* quals = r.seq4() + (r.l_seq + 1) / 2;
+  bool primary_or_unmapped =
+      (r.flag == 0 || r.flag == 16 || r.flag == 4);
+  int ksz = opts.kmer_size;
+  int kbefore = (ksz % 2 == 0) ? ksz / 2 - 1 : ksz / 2;
+  int kafter = ksz / 2;
+
+  char line[640];
+  for (const Ent& e : ents) {
+    const GView& g = gs[e.gi];
+    int32_t qpos = e.qpos;
+    if (!primary_or_unmapped &&
+        !(qpos >= clip_start && qpos < (int64_t)r.l_seq - clip_end))
+      continue;
+    int32_t ref_pos = unmapped ? -1 : refmap[qpos];
+    char mod_s = g.strand == 0 ? '+' : '-';
+    char ref_s, ref_ms;
+    if (unmapped) {
+      ref_s = ref_ms = '.';
+    } else {
+      ref_s = rev ? '-' : '+';
+      bool flip = (g.strand == 1) != rev;
+      ref_ms = flip ? '-' : '+';
+    }
+    int64_t q = (qpos < (int64_t)r.l_seq)
+                    ? quals[rev ? r.l_seq - 1 - qpos : qpos]
+                    : 0;
+    char mod_primary = g.strand == 1 ? compl_ch(g.base) : g.base;
+    // query kmer (revcomp for '-' mod strand) and ref kmer
+    char kq[64], kr[64];
+    for (int i = 0; i < ksz; ++i) {
+      int64_t off = qpos - kbefore + i;
+      kq[i] = (off >= 0 && off < (int64_t)fwd.size())
+                  ? (char)fwd[off]
+                  : '-';
+    }
+    if (g.strand == 1) {
+      for (int i = 0; i < ksz / 2; ++i) std::swap(kq[i], kq[ksz - 1 - i]);
+      for (int i = 0; i < ksz; ++i) kq[i] = compl_ch(kq[i]);
+    }
+    bool have_ref_kmer = ref_seq != nullptr && ref_pos >= 0;
+    if (have_ref_kmer)
+      for (int i = 0; i < ksz; ++i) {
+        int64_t off = ref_pos - kbefore + i;
+        kr[i] = (off >= 0 && off < ref_len) ? ref_seq[off] : '-';
+      }
+    // the row splits into [prefix] prob \t code [suffix], where prefix
+    // and suffix are constant across this entry's code loop — render
+    // each once (10 ints + 2 kmers per entry instead of per row)
+    char* w = line;
+    *w++ = '\t';
+    w = put_u_ex(w, qpos);
+    *w++ = '\t';
+    w = put_u_ex(w, ref_pos);
+    *w++ = '\t';
+    std::memcpy(w, chrom, chrom_len);
+    w += chrom_len;
+    *w++ = '\t';
+    *w++ = mod_s;
+    *w++ = '\t';
+    *w++ = ref_s;
+    *w++ = '\t';
+    *w++ = ref_ms;
+    *w++ = '\t';
+    w = put_u_ex(w, clip_start);
+    *w++ = '\t';
+    w = put_u_ex(w, clip_end);
+    *w++ = '\t';
+    w = put_u_ex(w, r.l_seq);
+    *w++ = '\t';
+    size_t pref_len = (size_t)(w - line);
+    char suf[192];
+    char* s2 = suf;
+    *s2++ = '\t';
+    s2 = put_u_ex(s2, q);
+    *s2++ = '\t';
+    if (have_ref_kmer) {
+      std::memcpy(s2, kr, ksz);
+      s2 += ksz;
+    } else {
+      *s2++ = '.';
+    }
+    *s2++ = '\t';
+    std::memcpy(s2, kq, ksz);
+    s2 += ksz;
+    *s2++ = '\t';
+    *s2++ = g.base;
+    *s2++ = '\t';
+    *s2++ = mod_primary;
+    *s2++ = '\t';
+    if (g.inferred[e.pi]) {
+      std::memcpy(s2, "true", 4);
+      s2 += 4;
+    } else {
+      std::memcpy(s2, "false", 5);
+      s2 += 5;
+    }
+    *s2++ = '\t';
+    s2 = put_u_ex(s2, r.flag);
+    *s2++ = '\n';
+    size_t suf_len = (size_t)(s2 - suf);
+    size_t gm = g.codes.size();
+    char mid[80];
+    for (size_t j = 0; j < gm; ++j) {
+      float p = g.probs[e.pi * gm + j];
+      if (p < 0.0f) continue;
+      char* m2 = put_f32_ex(mid, p);
+      *m2++ = '\t';
+      m2 = put_code_ex(m2, g.codes[j]);
+      out.append(name, name_len);
+      out.append(line, pref_len);
+      out.append(mid, (size_t)(m2 - mid));
+      out.append(suf, suf_len);
+    }
+  }
+}
+
+struct MkExtractOut {
+  char* text;
+  int64_t text_len;
+  uint8_t* carry;
+  int64_t carry_len;
+  int64_t next_off;
+  int32_t n_reads;     // records that produced output (or empty row sets)
+  int32_t eof;
+  int64_t err_counts[16];
+};
+
+// Decode + format one span of the compressed BAM stream. start_off must
+// be a BGZF block boundary; carry holds the partial record tail from the
+// previous span. parse_header=1 skips the BAM header (first span only).
+int32_t mk_extract_span(
+    const uint8_t* raw, int64_t raw_len, int64_t start_off,
+    int64_t max_comp, const uint8_t* carry, int64_t carry_len,
+    int32_t parse_header, const char** tid_names_c, int32_t n_tids,
+    const char** ref_seqs, const int64_t* ref_lens, int32_t kmer_size,
+    int32_t mapped_only, int32_t allow_non_primary, int32_t has_edge,
+    int64_t edge_start, int64_t edge_end, int32_t edge_inverted,
+    const int64_t* collapse_blob, int32_t collapse_len,
+    int32_t n_threads, MkExtractOut* out) {
+  std::memset(out, 0, sizeof(MkExtractOut));
+  ExtractOpts opts;
+  opts.kmer_size = kmer_size;
+  opts.mapped_only = mapped_only != 0;
+  opts.allow_non_primary = allow_non_primary != 0;
+  opts.dec.has_edge = has_edge != 0;
+  opts.dec.edge_start = edge_start;
+  opts.dec.edge_end = edge_end;
+  opts.dec.edge_inverted = edge_inverted != 0;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    opts.dec.collapse.push_back(std::move(op));
+  }
+  std::vector<std::string> tid_names(n_tids);
+  for (int32_t i = 0; i < n_tids; ++i) tid_names[i] = tid_names_c[i];
+
+  // 1) walk blocks for this span
+  struct Blk {
+    int64_t data_off, data_len, isize;
+  };
+  std::vector<Blk> blks;
+  int64_t off = start_off, comp_used = 0, total_isize = 0;
+  while (off < raw_len && comp_used < max_comp) {
+    int64_t bs, doff, dlen;
+    if (!bgzf_block_info(raw, raw_len, off, &bs, &doff, &dlen)) break;
+    uint32_t isize;
+    std::memcpy(&isize, raw + off + bs - 4, 4);
+    blks.push_back({doff, dlen, (int64_t)isize});
+    total_isize += isize;
+    comp_used += bs;
+    off += bs;
+  }
+  out->next_off = off;
+  out->eof = off >= raw_len ? 1 : 0;
+
+  // 2) inflate in parallel into one contiguous buffer after the carry
+  std::vector<uint8_t> data(carry_len + total_isize);
+  if (carry_len) std::memcpy(data.data(), carry, carry_len);
+  std::vector<int64_t> dst_off(blks.size());
+  {
+    int64_t c = carry_len;
+    for (size_t i = 0; i < blks.size(); ++i) {
+      dst_off[i] = c;
+      c += blks[i].isize;
+    }
+  }
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> infl_ok{true};
+  auto inflate_worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blks.size()) return;
+      if (blks[i].isize == 0) continue;
+      if (!inflate_block_raw(raw + blks[i].data_off, blks[i].data_len,
+                             data.data() + dst_off[i], blks[i].isize))
+        infl_ok.store(false);
+    }
+  };
+  if (nt > 1 && blks.size() > 1) {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(inflate_worker);
+    for (auto& th : pool) th.join();
+  } else {
+    inflate_worker();
+  }
+  if (!infl_ok.load()) return 2;
+
+  // 3) optionally skip the BAM header (first span)
+  int64_t p = 0, dlen_total = (int64_t)data.size();
+  if (parse_header) {
+    if (dlen_total < 12 || std::memcmp(data.data(), "BAM\1", 4) != 0)
+      return 3;
+    int32_t l_text;
+    std::memcpy(&l_text, data.data() + 4, 4);
+    p = 8 + l_text;
+    if (p + 4 > dlen_total) return 3;
+    int32_t n_ref;
+    std::memcpy(&n_ref, data.data() + p, 4);
+    p += 4;
+    for (int32_t i = 0; i < n_ref; ++i) {
+      if (p + 4 > dlen_total) return 3;
+      int32_t l_name;
+      std::memcpy(&l_name, data.data() + p, 4);
+      p += 4 + l_name + 4;
+    }
+    if (p > dlen_total) return 3;
+  }
+
+  // 4) collect complete records; the tail becomes carry-out
+  std::vector<Rec> recs;
+  int64_t tail_start = p;
+  while (p + 4 <= dlen_total) {
+    int32_t bs;
+    std::memcpy(&bs, data.data() + p, 4);
+    if (bs < 32 || p + 4 + bs > dlen_total) break;
+    Rec r;
+    r.p = data.data() + p + 4;
+    r.len = bs;
+    r.parse_head();
+    recs.push_back(r);
+    p += 4 + bs;
+    tail_start = p;
+  }
+  out->carry_len = dlen_total - tail_start;
+  if (out->carry_len) {
+    out->carry = (uint8_t*)std::malloc(out->carry_len);
+    std::memcpy(out->carry, data.data() + tail_start, out->carry_len);
+  }
+
+  // 5) filter + format, records sharded contiguously across threads
+  std::vector<const Rec*> keep;
+  keep.reserve(recs.size());
+  for (auto& r : recs) {
+    if (!opts.allow_non_primary && r.is_not_primary()) continue;
+    if (opts.mapped_only && r.is_unmapped()) continue;
+    keep.push_back(&r);
+  }
+  int fnt = (nt > 1 && keep.size() > 1) ? nt : 1;
+  std::vector<std::string> parts(fnt);
+  std::vector<std::array<int64_t, 16>> errs(fnt);
+  for (auto& a : errs) a.fill(0);
+  auto fmt_worker = [&](int t) {
+    size_t lo = keep.size() * t / fnt, hi = keep.size() * (t + 1) / fnt;
+    for (size_t i = lo; i < hi; ++i)
+      extract_read_rows(*keep[i], opts, tid_names, ref_seqs, ref_lens,
+                        n_tids, parts[t], errs[t].data());
+  };
+  if (fnt > 1) {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < fnt; ++t) pool.emplace_back(fmt_worker, t);
+    for (auto& th : pool) th.join();
+  } else {
+    fmt_worker(0);
+  }
+  size_t total = 0;
+  for (auto& s : parts) total += s.size();
+  out->text = (char*)std::malloc(total ? total : 1);
+  {
+    char* w = out->text;
+    for (auto& s : parts) {
+      std::memcpy(w, s.data(), s.size());
+      w += s.size();
+    }
+  }
+  out->text_len = (int64_t)total;
+  int64_t n_err = 0;
+  for (int t = 0; t < fnt; ++t)
+    for (int k = 0; k < 16; ++k) {
+      out->err_counts[k] += errs[t][k];
+      n_err += errs[t][k];
+    }
+  // n_reads mirrors the Python loop: errored reads tally in err_counts
+  // and do not count as processed
+  out->n_reads = (int32_t)(keep.size() - (size_t)n_err);
+  return 0;
+}
+
+// direct test hook for the float formatter (tests/test_native_extract.py
+// fuzzes it against writers.format_float)
+void mk_format_f32(float v, char* out64) {
+  std::string s = format_f32_rust(v);
+  size_t n = s.size() < 63 ? s.size() : 63;
+  std::memcpy(out64, s.data(), n);
+  out64[n] = '\0';
+}
+
+void mk_free_extract(MkExtractOut* out) {
+  std::free(out->text);
+  std::free(out->carry);
+  out->text = nullptr;
+  out->carry = nullptr;
 }
 
 }  // extern "C"
