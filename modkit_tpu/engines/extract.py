@@ -391,12 +391,12 @@ def run_extract(
         fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
     n_reads = 0
 
-    # native streaming fast path: whole-file `extract full` with no
-    # position filters decodes + formats in C++ spans (native
-    # mk_extract_span; byte-identical to full_rows —
+    # native streaming fast path: whole-file `extract full`/`calls` with
+    # no position filters decodes + formats in C++ spans (native
+    # mk_extract_span; byte-identical to full_rows/calls_rows —
     # tests/test_native_extract.py)
     if (
-        mode == "full"
+        mode in ("full", "calls")
         and num_reads is None
         and region is None
         and include_filter is None
@@ -432,6 +432,12 @@ def run_extract(
                 allow_non_primary=allow_non_primary,
                 edge_filter=edge_filter,
                 collapse=list(collapse) if collapse else None,
+                caller=(
+                    (caller or ThresholdCaller.passthrough())
+                    if mode == "calls"
+                    else None
+                ),
+                pass_only=pass_only,
                 n_threads=max(1, min(threads, _os.cpu_count() or 1)),
             ):
                 _write_bytes(text)

@@ -217,6 +217,12 @@ def load():
                 ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int32,                    # edge args
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
+                ctypes.c_int32, ctypes.c_int32,    # calls_mode, pass_only
+                ctypes.POINTER(ctypes.c_int64),    # pm_codes
+                ctypes.POINTER(ctypes.c_double),   # pm_vals
+                ctypes.c_int32,                    # n_pm
+                ctypes.POINTER(ctypes.c_double),   # fallback_mod4
+                ctypes.POINTER(ctypes.c_double),   # can_thr4
                 ctypes.c_int32,                    # n_threads
                 ctypes.POINTER(_MkExtractOut),
             ]
@@ -735,15 +741,20 @@ def extract_full_stream(
     allow_non_primary: bool = False,
     edge_filter=None,
     collapse=None,
+    caller=None,
+    pass_only: bool = False,
     n_threads: int | None = None,
     span_comp_bytes: int = 8 << 20,
 ):
-    """Stream `extract full` TSV row blocks from the compressed BAM bytes.
+    """Stream `extract full`/`extract calls` TSV row blocks from the
+    compressed BAM bytes.
 
     Yields (text_bytes, n_reads, errors_dict) per ~span_comp_bytes span of
     the compressed stream; rows are byte-identical to the Python
-    engines.extract.full_rows path (tests/test_native_extract.py).
-    ``ref_seqs`` maps contig NAME -> uint8 numpy sequence (adds ref_kmer).
+    engines.extract full_rows / calls_rows paths
+    (tests/test_native_extract.py). ``ref_seqs`` maps contig NAME -> uint8
+    numpy sequence (adds ref_kmer). A non-None ``caller``
+    (ThresholdCaller) switches to calls mode.
     """
     lib = load()
     if lib is None:
@@ -773,6 +784,35 @@ def extract_full_stream(
     has_edge = edge_filter is not None
     nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
 
+    # calls mode: ThresholdCaller serialized as (per_mod pairs, resolved
+    # fallback chain per base, resolved canonical thresholds) in f64 so
+    # C++ comparisons promote exactly like np.float32-vs-float Python
+    calls_mode = caller is not None
+    pm_codes = np.zeros(1, dtype=np.int64)
+    pm_vals = np.zeros(1, dtype=np.float64)
+    fb4 = np.zeros(4, dtype=np.float64)
+    cn4 = np.zeros(4, dtype=np.float64)
+    n_pm = 0
+    if calls_mode:
+        from ..modcodes import DNA_BASES, any_mod_code
+
+        items = list(caller.per_mod.items())
+        n_pm = len(items)
+        pm_codes = np.array(
+            [encode_code(c) for c, _ in items] or [0], dtype=np.int64
+        )
+        pm_vals = np.array(
+            [float(v) for _, v in items] or [0.0], dtype=np.float64
+        )
+        for b, base in enumerate(DNA_BASES):
+            t = caller.per_mod.get(any_mod_code(base))
+            if t is None:
+                t = caller.per_base.get(base)
+            if t is None:
+                t = caller.default_threshold
+            fb4[b] = float(t)
+            cn4[b] = caller.canonical_threshold(base)
+
     off = 0
     carry = b""
     first = True
@@ -787,7 +827,14 @@ def extract_full_stream(
             edge_filter.start_trim if has_edge else 0,
             edge_filter.end_trim if has_edge else 0,
             1 if (has_edge and edge_filter.inverted) else 0,
-            c_blob, len(blob), nt, ctypes.byref(out),
+            c_blob, len(blob),
+            1 if calls_mode else 0, 1 if pass_only else 0,
+            pm_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pm_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_pm,
+            fb4.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cn4.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            nt, ctypes.byref(out),
         )
         if rc != 0:
             raise RuntimeError(f"mk_extract_span failed rc={rc}")

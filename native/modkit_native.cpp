@@ -2133,7 +2133,38 @@ struct ExtractOpts {
   DecodeOpts dec;  // edge + collapse (force_allow unused by extract)
   int32_t kmer_size = 5;
   bool mapped_only = false, allow_non_primary = false;
+  // calls mode (engines/extract.py calls_rows + caller.ThresholdCaller):
+  // thresholds carried as f64 so comparisons promote exactly like the
+  // Python (np.float32 cmp float) path
+  bool calls_mode = false, pass_only = false;
+  std::vector<std::pair<Code, double>> per_mod;
+  double fallback_mod[4] = {0, 0, 0, 0};  // chain after per_mod[code]
+  double can_thr[4] = {0, 0, 0, 0};
+
+  double mod_thr(Code c, int base_idx) const {
+    for (auto& kv : per_mod)
+      if (kv.first == c) return kv.second;
+    return fallback_mod[base_idx];
+  }
 };
+
+static int base_idx_of(char b) {
+  switch (b) {
+    case 'A': return 0;
+    case 'C': return 1;
+    case 'G': return 2;
+    default: return 3;  // T
+  }
+}
+
+// ModCodeRepr Ord: ChEbi(int) < Code(char); ints numerically, chars by
+// codepoint (mod_base_code.rs:142-151; encoding: char -> -ord, int -> +v)
+static bool code_less(Code a, Code b) {
+  bool ac = a < 0, bc = b < 0;
+  if (ac != bc) return bc;  // ints (non-char) first
+  if (ac) return -a < -b;   // chars by codepoint
+  return a < b;
+}
 
 // per-read row formatting (full_rows semantics)
 static void extract_read_rows(
@@ -2282,7 +2313,28 @@ static void extract_read_rows(
   int kbefore = (ksz % 2 == 0) ? ksz / 2 - 1 : ksz / 2;
   int kafter = ksz / 2;
 
-  char line[640];
+  // calls mode: observed codes per base across the read's emitted rows,
+  // sorted by mod-code order (calls_rows codes_per_base)
+  std::array<std::vector<Code>, 4> union_by_base;
+  if (opts.calls_mode) {
+    for (const Ent& e : ents) {
+      const GView& g = gs[e.gi];
+      int32_t qpos = e.qpos;
+      if (!primary_or_unmapped &&
+          !(qpos >= clip_start && qpos < (int64_t)r.l_seq - clip_end))
+        continue;
+      auto& u = union_by_base[base_idx_of(g.base)];
+      size_t gm = g.codes.size();
+      for (size_t j = 0; j < gm; ++j)
+        if (g.probs[e.pi * gm + j] >= 0.0f &&
+            std::find(u.begin(), u.end(), g.codes[j]) == u.end())
+          u.push_back(g.codes[j]);
+    }
+    for (auto& u : union_by_base) std::sort(u.begin(), u.end(), code_less);
+  }
+
+  std::vector<char> linebuf(chrom_len + 640);  // room for any contig name
+  char* line = linebuf.data();
   for (const Ent& e : ents) {
     const GView& g = gs[e.gi];
     int32_t qpos = e.qpos;
@@ -2346,6 +2398,99 @@ static void extract_read_rows(
     w = put_u_ex(w, r.l_seq);
     *w++ = '\t';
     size_t pref_len = (size_t)(w - line);
+
+    if (opts.calls_mode) {
+      // one thresholded call per entry (calls_rows)
+      int bidx = base_idx_of(g.base);
+      const auto& u = union_by_base[bidx];
+      size_t gm = g.codes.size();
+      std::vector<std::pair<Code, float>> probs;  // insertion order
+      if (g.inferred[e.pi]) {
+        for (Code c : u) probs.emplace_back(c, 0.0f);
+      } else {
+        for (size_t j = 0; j < gm; ++j) {
+          float p = g.probs[e.pi * gm + j];
+          if (p >= 0.0f) probs.emplace_back(g.codes[j], p);
+        }
+        for (Code c : u) {
+          bool seen = false;
+          for (auto& kv : probs)
+            if (kv.first == c) {
+              seen = true;
+              break;
+            }
+          if (!seen) probs.emplace_back(c, 0.0f);
+        }
+      }
+      float sum = 0.0f;  // f32 accumulate in candidate order
+      for (auto& kv : probs) sum += kv.second;
+      float canon = 1.0f - sum;
+      bool any_pass = false;
+      for (auto& kv : probs)
+        if ((double)kv.second >= opts.mod_thr(kv.first, bidx))
+          any_pass = true;
+      if ((double)canon >= opts.can_thr[bidx]) any_pass = true;
+      bool filtered = !any_pass;
+      if (filtered && opts.pass_only) continue;
+      bool has = false;
+      float best_p = 0.0f;
+      Code best_code = 0;
+      for (auto& kv : probs)
+        if (!has || kv.second >= best_p) {
+          best_p = kv.second;
+          best_code = kv.first;
+          has = true;
+        }
+      bool dash = (!has) || !(best_p > canon);
+      float call_prob = dash ? canon : best_p;
+      bool within = !unmapped && qpos >= clip_start &&
+                    qpos < (int64_t)r.l_seq - clip_end;
+      char* w2 = w;
+      w2 = put_f32_ex(w2, call_prob);
+      *w2++ = '\t';
+      if (dash)
+        *w2++ = '-';
+      else
+        w2 = put_code_ex(w2, best_code);
+      *w2++ = '\t';
+      w2 = put_u_ex(w2, q);
+      *w2++ = '\t';
+      if (have_ref_kmer) {
+        std::memcpy(w2, kr, ksz);
+        w2 += ksz;
+      } else {
+        *w2++ = '.';
+      }
+      *w2++ = '\t';
+      std::memcpy(w2, kq, ksz);
+      w2 += ksz;
+      *w2++ = '\t';
+      *w2++ = g.base;
+      *w2++ = '\t';
+      *w2++ = mod_primary;
+      *w2++ = '\t';
+      auto put_bool = [&](bool b) {
+        if (b) {
+          std::memcpy(w2, "true", 4);
+          w2 += 4;
+        } else {
+          std::memcpy(w2, "false", 5);
+          w2 += 5;
+        }
+      };
+      put_bool(filtered);
+      *w2++ = '\t';
+      put_bool(g.inferred[e.pi] != 0);
+      *w2++ = '\t';
+      put_bool(within);
+      *w2++ = '\t';
+      w2 = put_u_ex(w2, r.flag);
+      *w2++ = '\n';
+      out.append(name, name_len);
+      out.append(line, (size_t)(w2 - line));
+      continue;
+    }
+
     char suf[192];
     char* s2 = suf;
     *s2++ = '\t';
@@ -2414,12 +2559,25 @@ int32_t mk_extract_span(
     int32_t mapped_only, int32_t allow_non_primary, int32_t has_edge,
     int64_t edge_start, int64_t edge_end, int32_t edge_inverted,
     const int64_t* collapse_blob, int32_t collapse_len,
+    int32_t calls_mode, int32_t pass_only, const int64_t* pm_codes,
+    const double* pm_vals, int32_t n_pm, const double* fallback_mod4,
+    const double* can_thr4,
     int32_t n_threads, MkExtractOut* out) {
   std::memset(out, 0, sizeof(MkExtractOut));
   ExtractOpts opts;
   opts.kmer_size = kmer_size;
   opts.mapped_only = mapped_only != 0;
   opts.allow_non_primary = allow_non_primary != 0;
+  opts.calls_mode = calls_mode != 0;
+  opts.pass_only = pass_only != 0;
+  if (calls_mode) {
+    for (int32_t i = 0; i < n_pm; ++i)
+      opts.per_mod.emplace_back(pm_codes[i], pm_vals[i]);
+    for (int b = 0; b < 4; ++b) {
+      opts.fallback_mod[b] = fallback_mod4[b];
+      opts.can_thr[b] = can_thr4[b];
+    }
+  }
   opts.dec.has_edge = has_edge != 0;
   opts.dec.edge_start = edge_start;
   opts.dec.edge_end = edge_end;

@@ -171,3 +171,90 @@ def test_native_format_f32_matches_oracle():
     for v in vals:
         lib.mk_format_f32(ctypes.c_float(float(v)), buf)
         assert buf.value.decode() == format_float(v), float(v)
+
+
+def python_calls_rows(
+    bam, caller, ref=None, pass_only=False, kmer_size=5,
+    mapped_only=False, allow_non_primary=False,
+):
+    from modkit_tpu.engines.extract import ReadProfile, calls_rows
+
+    reader = BamReader(bam)
+    ref_seqs = None
+    if ref is not None:
+        from modkit_tpu.io.fasta import FastaReader
+
+        fa = FastaReader(ref)
+        ref_seqs = {
+            n: fa.fetch(n)
+            for n in fa.names()
+            if n in reader.header.name_to_tid
+        }
+    out = []
+    for rec in reader.records():
+        if not allow_non_primary and rec.is_not_primary:
+            continue
+        if mapped_only and rec.is_unmapped:
+            continue
+        try:
+            profile = ReadProfile(rec, reader.header, (), None, kmer_size)
+        except ModKitError:
+            continue
+        out += calls_rows(profile, caller, ref_seqs, pass_only)
+    return "".join(out).encode()
+
+
+def test_native_extract_calls_matches_python(resources):
+    from modkit_tpu.caller import ThresholdCaller
+
+    bam = os.path.join(resources, "bc_anchored_10_reads.sorted.bam")
+    ref = os.path.join(resources, "CGI_ladder_3.6kb_ref.fa")
+    for caller, opts in (
+        (ThresholdCaller.passthrough(), {}),
+        (ThresholdCaller({"C": 0.75}, {}, 0.0), {}),
+        (ThresholdCaller({}, {"h": 0.9}, 0.5), {}),
+        (ThresholdCaller({"C": 0.8, "A": 0.7}, {"m": 0.6}, 0.25),
+         dict(pass_only=True)),
+        (ThresholdCaller({}, {}, 0.8), dict(ref=ref)),
+    ):
+        reader = BamReader(bam)
+        names = [x.name for x in reader.header.refs]
+        ref_seqs = None
+        if "ref" in opts:
+            from modkit_tpu.io.fasta import FastaReader
+
+            fa = FastaReader(opts["ref"])
+            ref_seqs = {
+                n: fa.fetch(n)
+                for n in fa.names()
+                if n in reader.header.name_to_tid
+            }
+        parts = []
+        for text, nr, errs in native.extract_full_stream(
+            reader.bam_raw, names, ref_seqs=ref_seqs, caller=caller,
+            pass_only=opts.get("pass_only", False), n_threads=2,
+        ):
+            parts.append(text)
+        nt = b"".join(parts)
+        py = python_calls_rows(bam, caller, **opts)
+        assert nt == py, (caller, opts)
+        assert len(py) > 0
+
+
+def test_native_extract_calls_implicit(resources):
+    """Inferred positions call over the union with prob 0 (calls_rows
+    implicit branch)."""
+    from modkit_tpu.caller import ThresholdCaller
+
+    bam = os.path.join(resources, "implicit_mod_tags.bam")
+    caller = ThresholdCaller({}, {}, 0.3)
+    reader = BamReader(bam)
+    names = [x.name for x in reader.header.refs]
+    parts = []
+    for text, nr, errs in native.extract_full_stream(
+        reader.bam_raw, names, caller=caller, n_threads=1
+    ):
+        parts.append(text)
+    nt = b"".join(parts)
+    py = python_calls_rows(bam, caller)
+    assert nt == py and len(py) > 0
