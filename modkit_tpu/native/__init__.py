@@ -60,6 +60,8 @@ class _MkTileOut(ctypes.Structure):
         ("n_del", ctypes.c_int64),
         ("err_counts", ctypes.c_int64 * 16),
         ("handle", ctypes.c_void_p),
+        ("n_parts", ctypes.c_int32),
+        ("part_keys", ctypes.POINTER(ctypes.c_char_p)),
     ]
 
 
@@ -137,6 +139,7 @@ def load():
                 ctypes.POINTER(ctypes.c_int64),       # collapse_blob
                 ctypes.c_int32,                       # collapse_len
                 ctypes.POINTER(ctypes.c_int8),        # focus_rule
+                ctypes.c_char_p, ctypes.c_int32,      # ptags, n_ptags
                 ctypes.c_int32,                       # n_threads
                 ctypes.POINTER(_MkTileOut),
             ]
@@ -248,6 +251,7 @@ def load():
                 ctypes.POINTER(ctypes.c_int64),    # collapse blob
                 ctypes.c_int32,
                 ctypes.POINTER(ctypes.c_int8),     # focus rule
+                ctypes.c_char_p, ctypes.c_int32,   # ptags, n_ptags
                 ctypes.c_int32,                    # n_threads
                 ctypes.POINTER(_MkTileOut),
             ]
@@ -309,6 +313,19 @@ def encode_collapse(methods) -> np.ndarray:
     return np.asarray(blob, dtype=np.int64)
 
 
+def _ptags_blob(partition_tags) -> bytes | None:
+    """Flat 2-char tag bytes for the native partition-key scan."""
+    if not partition_tags:
+        return None
+    blob = b""
+    for t in partition_tags:
+        tb = str(t).encode()
+        if len(tb) != 2:
+            raise ValueError(f"partition tag must be 2 chars: {t!r}")
+        blob += tb
+    return blob
+
+
 def decode_tile(
     chunks: list[bytes],
     tid: int,
@@ -320,6 +337,7 @@ def decode_tile(
     edge_filter=None,
     collapse=None,
     focus_rule: np.ndarray | None = None,
+    partition_tags: list | None = None,
     n_threads: int | None = None,
 ):
     """Native tile event decode; returns a dict mirroring the Python
@@ -360,12 +378,16 @@ def decode_tile(
         edge_filter.start_trim if has_edge else 0,
         edge_filter.end_trim if has_edge else 0,
         1 if (has_edge and edge_filter.inverted) else 0,
-        c_blob, len(blob), c_rule, nt,
+        c_blob, len(blob), c_rule,
+        _ptags_blob(partition_tags), len(partition_tags or ()), nt,
         ctypes.byref(out),
     )
     if rc != 0:
         raise RuntimeError(f"mk_decode_tile failed rc={rc}")
-    return NativeTile(lib, out, end - start, keepalive=(chunks, blob, fr))
+    return NativeTile(
+        lib, out, (end - start) * max(1, int(out.n_parts)),
+        keepalive=(chunks, blob, fr),
+    )
 
 
 def decode_tile_bgzf(
@@ -380,6 +402,7 @@ def decode_tile_bgzf(
     edge_filter=None,
     collapse=None,
     focus_rule: np.ndarray | None = None,
+    partition_tags: list | None = None,
     n_threads: int | None = None,
 ):
     """Tile decode straight from the compressed BAM bytes: BGZF blocks
@@ -414,13 +437,15 @@ def decode_tile_bgzf(
         edge_filter.start_trim if has_edge else 0,
         edge_filter.end_trim if has_edge else 0,
         1 if (has_edge and edge_filter.inverted) else 0,
-        c_blob, len(blob), c_rule, nt,
+        c_blob, len(blob), c_rule,
+        _ptags_blob(partition_tags), len(partition_tags or ()), nt,
         ctypes.byref(out),
     )
     if rc != 0:
         raise RuntimeError(f"mk_decode_tile_bgzf failed rc={rc}")
     return NativeTile(
-        lib, out, end - start, keepalive=(raw, vbeg, vend, blob, fr)
+        lib, out, (end - start) * max(1, int(out.n_parts)),
+        keepalive=(raw, vbeg, vend, blob, fr),
     )
 
 
@@ -433,6 +458,19 @@ class NativeTile:
         self._lib = lib
         self._out = out
         self._p = p
+        # --partition-tag: tile-local key list (None = NoKey/"ungrouped");
+        # dense arrays fold the key into the position axis
+        self.n_parts = max(int(out.n_parts), 1)
+        self.part_keys = None
+        if out.part_keys and int(out.n_parts) > 0:
+            self.part_keys = [
+                (
+                    out.part_keys[i].decode()
+                    if out.part_keys[i] is not None
+                    else None
+                )
+                for i in range(int(out.n_parts))
+            ]
         self.n_events = int(out.n_events)
         self.m = max(int(out.m), 1)
         self.n_used = int(out.n_used)

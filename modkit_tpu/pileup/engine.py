@@ -251,7 +251,6 @@ class TileProcessor:
         focus_rule = focus.rule if focus is not None else None
         if (
             self._use_native()
-            and not self.opts.partition_tags
             and hasattr(reader, "fetch_chunks_raw")
         ):
             from .. import native
@@ -270,6 +269,7 @@ class TileProcessor:
                     edge_filter=self.opts.edge_filter,
                     collapse=self.opts.collapse,
                     focus_rule=focus_rule,
+                    partition_tags=self.opts.partition_tags,
                     n_threads=self.opts.decode_threads,
                 )
             else:
@@ -281,6 +281,7 @@ class TileProcessor:
                     edge_filter=self.opts.edge_filter,
                     collapse=self.opts.collapse,
                     focus_rule=focus_rule,
+                    partition_tags=self.opts.partition_tags,
                     n_threads=self.opts.decode_threads,
                 )
             if res is not None:
@@ -293,7 +294,7 @@ class TileProcessor:
                     return None
                 return self._dispatch_native_tile(
                     res, start, end - start, focus
-                )
+                )  # partition fold handled inside via res.n_parts
 
         ptags = self.opts.partition_tags
         reads = []
@@ -556,14 +557,18 @@ class TileProcessor:
                     p, m,
                 )
         else:
-            modc = np.zeros((p, 2, 1 + 4 * (m_pad + 1)), dtype=np.int32)
+            modc = np.zeros((res._p, 2, 1 + 4 * (m_pad + 1)), dtype=np.int32)
         # with per-event states the nc/del channels come out of
         # bincount_full directly — skip the host copies at launch
         nc = res.nc_counts if states is None else None
         dl = res.del_counts if states is None else None
+        # partition mode: the native tile folded the key into the position
+        # axis (p_total = n_parts * p); expose the key list for finish
+        parts = res.part_keys if self.opts.partition_tags else None
         return TilePending(
-            modc, nc, dl, None, vocab, start, p,
+            modc, nc, dl, None, vocab, start, res._p,
             focus, native=res, states=states, m_pad=m_pad,
+            parts=parts, base_p=p,
         )
 
     def assemble_counts(self, pending: "TilePending") -> np.ndarray:

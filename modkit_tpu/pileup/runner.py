@@ -398,9 +398,7 @@ def run_pileup(cfg: PileupConfig) -> dict:
     # shares a per-contig read cache and stays single-launcher
     from .. import native as _native
 
-    parallel_ok = (
-        _native.available() and not cfg.partition_tags and not is_cram_input
-    )
+    parallel_ok = _native.available() and not is_cram_input
     n_workers = (
         max(1, min(cfg.threads, os.cpu_count() or 1)) if parallel_ok else 1
     )

@@ -823,6 +823,207 @@ void fill_skipped(const Rec& r, const std::vector<uint8_t>& fwd,
   covered_intervals(r, ev.cover);
 }
 
+// Shortest round-trip f32 decimal with HALF-UP tie rounding, fixed
+// notation — the exact algorithm of writers._format_float_cached (which
+// matches Rust f32 Display/ryu; std::to_chars breaks decimal ties the
+// other way, e.g. 78.5/256 -> "0.30664062" instead of "0.30664063").
+static std::string format_f32_rust(float v) {
+  if (v == 0.0f) return "0";
+  if (std::isnan(v)) return "NaN";
+  if (std::isinf(v)) return v > 0 ? "inf" : "-inf";
+  bool neg = v < 0.0f;
+  double d = std::fabs((double)v);
+  int e2;
+  double frac = std::frexp(d, &e2);
+  // f32 mantissa fits far inside 2^53: M is exact
+  int64_t M = (int64_t)std::ldexp(frac, 53);
+  e2 -= 53;
+  // exact decimal digits of |v| = M * 2^e2 as digitsInteger * 10^exp10
+  std::vector<uint8_t> dig;
+  for (int64_t m = M; m > 0; m /= 10) dig.push_back((uint8_t)(m % 10));
+  std::reverse(dig.begin(), dig.end());
+  auto mul_small = [&](int f) {
+    int carry = 0;
+    for (int i = (int)dig.size() - 1; i >= 0; --i) {
+      int x = dig[i] * f + carry;
+      dig[i] = (uint8_t)(x % 10);
+      carry = x / 10;
+    }
+    while (carry) {
+      dig.insert(dig.begin(), (uint8_t)(carry % 10));
+      carry /= 10;
+    }
+  };
+  int exp10 = 0;
+  if (e2 > 0) {
+    for (int i = 0; i < e2; ++i) mul_small(2);
+  } else {
+    for (int i = 0; i < -e2; ++i) mul_small(5);
+    exp10 = e2;
+  }
+  // strip leading zeros (none expected) — adj = exponent of leading digit
+  int adj = (int)dig.size() - 1 + exp10;
+  char buf[128];
+  for (int digits = 1; digits <= 12; ++digits) {
+    // round to `digits` significant figures, half-up
+    std::vector<uint8_t> kept(
+        dig.begin(),
+        dig.begin() + std::min((size_t)digits, dig.size()));
+    while ((int)kept.size() < digits) kept.push_back(0);
+    int kadj = adj;
+    if ((size_t)digits < dig.size() && dig[digits] >= 5) {
+      int i = digits - 1;
+      for (; i >= 0; --i) {
+        if (kept[i] == 9) {
+          kept[i] = 0;
+        } else {
+          kept[i]++;
+          break;
+        }
+      }
+      if (i < 0) {
+        kept.insert(kept.begin(), 1);
+        kept.pop_back();
+        kadj += 1;
+      }
+    }
+    // normalize: strip trailing zeros
+    int n = (int)kept.size();
+    while (n > 1 && kept[n - 1] == 0) --n;
+    // render fixed
+    char* w = buf;
+    if (neg) *w++ = '-';
+    if (kadj >= 0) {
+      for (int i = 0; i <= kadj; ++i)
+        *w++ = (char)('0' + (i < n ? kept[i] : 0));
+      if (n > kadj + 1) {
+        *w++ = '.';
+        for (int i = kadj + 1; i < n; ++i) *w++ = (char)('0' + kept[i]);
+      }
+    } else {
+      *w++ = '0';
+      *w++ = '.';
+      for (int i = 0; i < -kadj - 1; ++i) *w++ = '0';
+      for (int i = 0; i < n; ++i) *w++ = (char)('0' + kept[i]);
+    }
+    *w = '\0';
+    if (strtof(buf, nullptr) == v) return std::string(buf, w);
+  }
+  // unreachable for finite f32 (9 significant digits always round-trip)
+  snprintf(buf, sizeof(buf), "%.9g", (double)v);
+  return buf;
+}
+
+// --partition-tag key for one record (engine.partition_key_for +
+// util.rs:670 get_stringable_aux): join the stringable values of the
+// requested tags with '_', "missing" for absent/array-typed; false when
+// no tag matched (NoKey). Duplicate tags: the LAST occurrence wins
+// (Python's _scan_aux dict). Floats format as f32 Rust Display.
+static bool aux_partition_key(const Rec& r,
+                              const std::vector<std::array<char, 2>>& tags,
+                              std::string& key_out) {
+  std::vector<std::string> vals(tags.size());
+  std::vector<uint8_t> state(tags.size(), 0);  // 0 none, 1 value, 2 array
+  const uint8_t* buf = r.p;
+  int64_t p = r.aux_off(), end = r.len;
+  char tmp[64];
+  while (p + 3 <= end) {
+    char t0 = (char)buf[p], t1 = (char)buf[p + 1];
+    char typ = (char)buf[p + 2];
+    p += 3;
+    int ti = -1;
+    for (size_t i = 0; i < tags.size(); ++i)
+      if (tags[i][0] == t0 && tags[i][1] == t1) ti = (int)i;
+    switch (typ) {
+      case 'A':
+        if (ti >= 0) { vals[ti] = std::string(1, (char)buf[p]); state[ti] = 1; }
+        p += 1;
+        break;
+      case 'c':
+        if (ti >= 0) {
+          snprintf(tmp, sizeof(tmp), "%d", (int)(int8_t)buf[p]);
+          vals[ti] = tmp; state[ti] = 1;
+        }
+        p += 1;
+        break;
+      case 'C':
+        if (ti >= 0) {
+          snprintf(tmp, sizeof(tmp), "%u", (unsigned)buf[p]);
+          vals[ti] = tmp; state[ti] = 1;
+        }
+        p += 1;
+        break;
+      case 's': case 'S': {
+        if (ti >= 0) {
+          uint16_t v; std::memcpy(&v, buf + p, 2);
+          if (typ == 's') snprintf(tmp, sizeof(tmp), "%d", (int)(int16_t)v);
+          else snprintf(tmp, sizeof(tmp), "%u", (unsigned)v);
+          vals[ti] = tmp; state[ti] = 1;
+        }
+        p += 2;
+        break;
+      }
+      case 'i': case 'I': {
+        if (ti >= 0) {
+          uint32_t v; std::memcpy(&v, buf + p, 4);
+          if (typ == 'i')
+            snprintf(tmp, sizeof(tmp), "%d", (int)(int32_t)v);
+          else
+            snprintf(tmp, sizeof(tmp), "%u", (unsigned)v);
+          vals[ti] = tmp; state[ti] = 1;
+        }
+        p += 4;
+        break;
+      }
+      case 'f': {
+        if (ti >= 0) {
+          float v; std::memcpy(&v, buf + p, 4);
+          vals[ti] = format_f32_rust(v); state[ti] = 1;
+        }
+        p += 4;
+        break;
+      }
+      case 'Z': case 'H': {
+        int64_t q = p;
+        while (q < end && buf[q] != 0) ++q;
+        if (q >= end) return false;
+        if (ti >= 0) {
+          vals[ti].assign((const char*)(buf + p), (size_t)(q - p));
+          state[ti] = 1;
+        }
+        p = q + 1;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) return false;
+        char sub = (char)buf[p];
+        uint32_t n; std::memcpy(&n, buf + p + 1, 4);
+        int isz = aux_b_itemsize(sub);
+        if (isz < 0) return false;
+        if (ti >= 0) state[ti] = 2;  // array-valued: not stringable
+        p += 5 + (int64_t)n * isz;
+        break;
+      }
+      default:
+        return false;
+    }
+  }
+  bool got = false;
+  std::string key;
+  for (size_t i = 0; i < tags.size(); ++i) {
+    if (i) key.push_back('_');
+    if (state[i] == 1) {
+      key += vals[i];
+      got = true;
+    } else {
+      key += "missing";
+    }
+  }
+  if (!got) return false;
+  key_out = std::move(key);
+  return true;
+}
+
 // read_to_events (events.py:135): full per-read decode + event expansion
 ReadEvents decode_read(const Rec& r, const DecodeOpts& opts) {
   ReadEvents ev;
@@ -998,6 +1199,10 @@ struct TileBuffers {
   std::vector<int32_t> nc_counts, del_counts;
   std::vector<uint8_t> observed;
   std::vector<int64_t> vocab;
+  // --partition-tag: tile-local key list in first-seen order; nullptr
+  // entries are the NoKey ("ungrouped") partition
+  std::vector<std::string> part_key_store;
+  std::vector<const char*> part_key_ptrs;
 };
 
 }  // namespace
@@ -1019,16 +1224,23 @@ struct MkTileOut {
   int64_t n_nc, n_del;
   int64_t err_counts[16];
   void* handle;
+  // --partition-tag: number of partitions (1 when unpartitioned) and the
+  // key per partition (nullptr = NoKey/"ungrouped"); dense arrays above
+  // are sized with p_total = n_parts * (end - start), key-major folds
+  int32_t n_parts;
+  const char* const* part_keys;
 };
 
 // Decode one genome tile's fetched (decompressed) BAM chunks into pileup
 // event arrays. Returns 0 on success. Caller must mk_free_tile(out).
+// ptags: n_ptags 2-char partition tags, flat (e.g. "HPRG"); 0 = off.
 int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
                        int32_t n_chunks, int32_t tid, int64_t start,
                        int64_t end, int64_t max_depth, int32_t force_allow,
                        int32_t has_edge, int64_t edge_start, int64_t edge_end,
                        int32_t edge_inverted, const int64_t* collapse_blob,
                        int32_t collapse_len, const int8_t* focus_rule,
+                       const char* ptags, int32_t n_ptags,
                        int32_t n_threads, MkTileOut* out) {
   std::memset(out, 0, sizeof(MkTileOut));
   DecodeOpts opts;
@@ -1084,8 +1296,45 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
   out->handle = bufs;
   out->nc_counts = nullptr;
   out->del_counts = nullptr;
+  out->n_parts = 1;
+  out->part_keys = nullptr;
 
   if (recs.empty()) return 0;
+
+  // --partition-tag: one key slot per kept record, first-seen key order
+  // (engine.launch_tile partition path)
+  int n_parts = 1;
+  std::vector<int32_t> pkeys(recs.size(), 0);
+  std::vector<uint8_t> part_nokey;
+  if (n_ptags > 0) {
+    std::vector<std::array<char, 2>> tag_list;
+    for (int32_t i = 0; i < n_ptags; ++i)
+      tag_list.push_back({ptags[2 * i], ptags[2 * i + 1]});
+    for (size_t i = 0; i < recs.size(); ++i) {
+      std::string key;
+      bool has = aux_partition_key(recs[i], tag_list, key);
+      int idx = -1;
+      for (size_t j = 0; j < bufs->part_key_store.size(); ++j) {
+        if (has ? (!part_nokey[j] && bufs->part_key_store[j] == key)
+                : (bool)part_nokey[j]) {
+          idx = (int)j;
+          break;
+        }
+      }
+      if (idx < 0) {
+        idx = (int)bufs->part_key_store.size();
+        bufs->part_key_store.push_back(has ? key : std::string());
+        part_nokey.push_back(has ? 0 : 1);
+      }
+      pkeys[i] = idx;
+    }
+    n_parts = (int)bufs->part_key_store.size();
+    for (size_t j = 0; j < bufs->part_key_store.size(); ++j)
+      bufs->part_key_ptrs.push_back(
+          part_nokey[j] ? nullptr : bufs->part_key_store[j].c_str());
+    out->n_parts = n_parts;
+    out->part_keys = bufs->part_key_ptrs.data();
+  }
 
   // ---- parallel per-read decode, deterministic order kept by index ----
   std::vector<ReadEvents> events(recs.size());
@@ -1136,9 +1385,10 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
   // buffer trimmed afterwards — avoids a resize() call per event
   bufs->ev_probs.assign(n_ev_total * m, -1.0f);
 
-  bufs->nc_counts.assign((size_t)p_len * 2 * 4, 0);
-  bufs->del_counts.assign((size_t)p_len * 2, 0);
-  bufs->observed.assign((size_t)p_len * 2 * 4 * m, 0);
+  int64_t p_total = (int64_t)n_parts * p_len;  // partition-folded axis
+  bufs->nc_counts.assign((size_t)p_total * 2 * 4, 0);
+  bufs->del_counts.assign((size_t)p_total * 2, 0);
+  bufs->observed.assign((size_t)p_total * 2 * 4 * m, 0);
   int64_t n_nc = 0, n_del = 0;
 
   // --max-depth: per-column cap on contributing reads, first-in-file-order
@@ -1149,7 +1399,10 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
   std::vector<uint8_t> adm;
   if (use_depth) depth_cov.assign((size_t)p_len, 0);
 
-  for (auto& ev : events) {
+  for (size_t ri = 0; ri < events.size(); ++ri) {
+    auto& ev = events[ri];
+    // partition fold: this read's events land at pos + part * p_len
+    int64_t off = (int64_t)pkeys[ri] * p_len;
     int s = ev.aln_strand;
     size_t rm = ev.codes.size();
     std::vector<size_t> cols(rm);
@@ -1176,7 +1429,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         if (!(rv == 2 || rv == ev.mod_out[i])) continue;
       }
       if (use_depth && !adm[li]) continue;
-      bufs->ev_rpos.push_back((int32_t)li);
+      bufs->ev_rpos.push_back((int32_t)(li + off));
       bufs->ev_strand.push_back(ev.mod_out[i]);
       bufs->ev_base.push_back(ev.mod_base[i]);
       float* dst = bufs->ev_probs.data() + (bufs->ev_rpos.size() - 1) * m;
@@ -1192,7 +1445,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         if (!(rv == 2 || rv == s)) continue;
       }
       if (use_depth && !adm[li]) continue;
-      bufs->nc_counts[(li * 2 + s) * 4 + ev.nc_base[i]]++;
+      bufs->nc_counts[((li + off) * 2 + s) * 4 + ev.nc_base[i]]++;
       ++n_nc;
     }
     // delete histogram
@@ -1204,7 +1457,7 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         if (!(rv == 2 || rv == s)) continue;
       }
       if (use_depth && !adm[li]) continue;
-      bufs->del_counts[li * 2 + s]++;
+      bufs->del_counts[(li + off) * 2 + s]++;
       ++n_del;
     }
     // observed-code painting over covered intervals (read_cache.rs:298)
@@ -1217,7 +1470,8 @@ int32_t mk_decode_tile(const uint8_t** chunks, const int64_t* chunk_lens,
         for (auto& iv : ev.cover) {
           int64_t a2 = std::max(iv.first - start, (int64_t)0);
           int64_t b2 = std::min(iv.second - start, p_len);
-          uint8_t* obs = bufs->observed.data() + chan;
+          uint8_t* obs = bufs->observed.data() + chan +
+                         (size_t)off * stride;
           if (!use_depth) {
             for (int64_t x = a2; x < b2; ++x) obs[(size_t)x * stride] = 1;
           } else {
@@ -1310,6 +1564,7 @@ int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
                             int32_t edge_inverted,
                             const int64_t* collapse_blob,
                             int32_t collapse_len, const int8_t* focus_rule,
+                            const char* ptags, int32_t n_ptags,
                             int32_t n_threads, MkTileOut* out) {
   int nt = n_threads > 0 ? n_threads : 1;
   std::vector<std::vector<uint8_t>> datas((size_t)n_chunks);
@@ -1406,7 +1661,7 @@ int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
   return mk_decode_tile(ptrs.data(), lens.data(), n_chunks, tid, start, end,
                         max_depth, force_allow, has_edge, edge_start,
                         edge_end, edge_inverted, collapse_blob, collapse_len,
-                        focus_rule, n_threads, out);
+                        focus_rule, ptags, n_ptags, n_threads, out);
 }
 
 // Export the decoded tile's sparse events directly into caller-allocated
@@ -1999,97 +2254,6 @@ static char* put_code_ex(char* q, Code c) {
     return q;
   }
   return put_u_ex(q, c);
-}
-
-// Shortest round-trip f32 decimal with HALF-UP tie rounding, fixed
-// notation — the exact algorithm of writers._format_float_cached (which
-// matches Rust f32 Display/ryu; std::to_chars breaks decimal ties the
-// other way, e.g. 78.5/256 -> "0.30664062" instead of "0.30664063").
-static std::string format_f32_rust(float v) {
-  if (v == 0.0f) return "0";
-  if (std::isnan(v)) return "NaN";
-  if (std::isinf(v)) return v > 0 ? "inf" : "-inf";
-  bool neg = v < 0.0f;
-  double d = std::fabs((double)v);
-  int e2;
-  double frac = std::frexp(d, &e2);
-  // f32 mantissa fits far inside 2^53: M is exact
-  int64_t M = (int64_t)std::ldexp(frac, 53);
-  e2 -= 53;
-  // exact decimal digits of |v| = M * 2^e2 as digitsInteger * 10^exp10
-  std::vector<uint8_t> dig;
-  for (int64_t m = M; m > 0; m /= 10) dig.push_back((uint8_t)(m % 10));
-  std::reverse(dig.begin(), dig.end());
-  auto mul_small = [&](int f) {
-    int carry = 0;
-    for (int i = (int)dig.size() - 1; i >= 0; --i) {
-      int x = dig[i] * f + carry;
-      dig[i] = (uint8_t)(x % 10);
-      carry = x / 10;
-    }
-    while (carry) {
-      dig.insert(dig.begin(), (uint8_t)(carry % 10));
-      carry /= 10;
-    }
-  };
-  int exp10 = 0;
-  if (e2 > 0) {
-    for (int i = 0; i < e2; ++i) mul_small(2);
-  } else {
-    for (int i = 0; i < -e2; ++i) mul_small(5);
-    exp10 = e2;
-  }
-  // strip leading zeros (none expected) — adj = exponent of leading digit
-  int adj = (int)dig.size() - 1 + exp10;
-  char buf[128];
-  for (int digits = 1; digits <= 12; ++digits) {
-    // round to `digits` significant figures, half-up
-    std::vector<uint8_t> kept(
-        dig.begin(),
-        dig.begin() + std::min((size_t)digits, dig.size()));
-    while ((int)kept.size() < digits) kept.push_back(0);
-    int kadj = adj;
-    if ((size_t)digits < dig.size() && dig[digits] >= 5) {
-      int i = digits - 1;
-      for (; i >= 0; --i) {
-        if (kept[i] == 9) {
-          kept[i] = 0;
-        } else {
-          kept[i]++;
-          break;
-        }
-      }
-      if (i < 0) {
-        kept.insert(kept.begin(), 1);
-        kept.pop_back();
-        kadj += 1;
-      }
-    }
-    // normalize: strip trailing zeros
-    int n = (int)kept.size();
-    while (n > 1 && kept[n - 1] == 0) --n;
-    // render fixed
-    char* w = buf;
-    if (neg) *w++ = '-';
-    if (kadj >= 0) {
-      for (int i = 0; i <= kadj; ++i)
-        *w++ = (char)('0' + (i < n ? kept[i] : 0));
-      if (n > kadj + 1) {
-        *w++ = '.';
-        for (int i = kadj + 1; i < n; ++i) *w++ = (char)('0' + kept[i]);
-      }
-    } else {
-      *w++ = '0';
-      *w++ = '.';
-      for (int i = 0; i < -kadj - 1; ++i) *w++ = '0';
-      for (int i = 0; i < n; ++i) *w++ = (char)('0' + kept[i]);
-    }
-    *w = '\0';
-    if (strtof(buf, nullptr) == v) return std::string(buf, w);
-  }
-  // unreachable for finite f32 (9 significant digits always round-trip)
-  snprintf(buf, sizeof(buf), "%.9g", (double)v);
-  return buf;
 }
 
 static char* put_f32_ex(char* q, float v) {
