@@ -723,6 +723,31 @@ def run_entropy(args) -> int:
                         mod_calls, ref_start, ref_end, strand, max_filtered
                     )
 
+    # genome-window batches are independent: -t workers fetch + pattern-
+    # count concurrently (the reference's thread pool over window batches,
+    # entropy/subcommand.rs threads); the writer drains in submit order so
+    # output stays genome-ordered. BamReader.fetch is stateless over the
+    # in-memory BGZF bytes, so the readers are shared across workers.
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_workers = max(
+        1, min(getattr(args, "threads", 1) or 1, os.cpu_count() or 1)
+    )
+    pool = ThreadPoolExecutor(n_workers) if n_workers > 1 else None
+    inflight: deque = deque()
+
+    def run_batch(tid, windows):
+        process_batch(tid, windows)
+        return [w.into_entropy(args.min_coverage) for w in windows]
+
+    def drain_one():
+        chrom_, fut = inflight.popleft()
+        for rows in fut.result():
+            write_window_rows(chrom_, rows)
+        if shard_mode:
+            windows_out.write("\x00TILE\x00")
+
     batch_idx = 0
     for tid, contig_start, raw_seq, region_name in work:
         seq = uppercase(raw_seq)
@@ -743,11 +768,20 @@ def run_entropy(args) -> int:
                 batch_idx += 1
                 if not owned:
                     continue
-                process_batch(tid, windows)
-                for w in windows:
-                    write_window_rows(chrom, w.into_entropy(args.min_coverage))
-                if shard_mode:
-                    windows_out.write("\x00TILE\x00")
+                if pool is None:
+                    process_batch(tid, windows)
+                    for w in windows:
+                        write_window_rows(
+                            chrom, w.into_entropy(args.min_coverage)
+                        )
+                    if shard_mode:
+                        windows_out.write("\x00TILE\x00")
+                else:
+                    inflight.append(
+                        (chrom, pool.submit(run_batch, tid, windows))
+                    )
+                    if len(inflight) > 2 * n_workers:
+                        drain_one()
             continue
         windows = list(win_iter)
         if not windows:
@@ -805,6 +839,11 @@ def run_entropy(args) -> int:
                 stats_row(neg_es, neg_nr, neg_fails, "-")
             for rows in per_window:
                 write_window_rows(chrom, rows)
+
+    while inflight:
+        drain_one()
+    if pool is not None:
+        pool.shutdown(wait=False)
 
     if windows_out is not sys.stdout:
         windows_out.close()

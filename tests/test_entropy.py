@@ -173,3 +173,30 @@ def test_entropy_window_batches_equivalent(tmp_path, monkeypatch):
     default = run(None, "default.bedgraph")
     tiny = run(1, "tiny.bedgraph")  # one window per batch
     assert tiny == default and default.count(b"\n") >= 6
+
+
+def test_entropy_threads_byte_equal(tmp_path, monkeypatch):
+    """-t N pipelines window batches through a worker pool; output must
+    be byte-identical to the serial path (ordered drain)."""
+    from modkit_tpu.cli import main
+
+    monkeypatch.setenv("MODKIT_TPU_ENTROPY_BATCH_SPAN", "200")
+
+    def run(t, name):
+        out = tmp_path / name
+        rc = main(
+            [
+                "entropy",
+                "-s", f"{RES}/bc_anchored_10_reads.sorted.bam",
+                "-o", str(out),
+                "--min-coverage", "1",
+                "--ref", f"{RES}/CGI_ladder_3.6kb_ref.fa",
+                "--cpg", "--no-filtering", "--force", "-t", str(t),
+            ]
+        )
+        assert rc == 0
+        return out.read_bytes()
+
+    serial = run(1, "t1.bedgraph")
+    threaded = run(4, "t4.bedgraph")
+    assert threaded == serial and serial.count(b"\n") >= 6
