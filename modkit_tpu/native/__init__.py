@@ -231,6 +231,22 @@ def load():
             ]
             lib.mk_free_extract.restype = None
             lib.mk_free_extract.argtypes = [ctypes.POINTER(_MkExtractOut)]
+            lib.mk_sample_confidences.restype = ctypes.c_int32
+            lib.mk_sample_confidences.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p),   # recs
+                ctypes.POINTER(ctypes.c_int64),    # lens
+                ctypes.POINTER(ctypes.c_uint8),    # only_mapped flags
+                ctypes.c_int32,                    # n
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,                    # edge args
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
+                ctypes.c_int32,                    # n_threads
+                ctypes.POINTER(ctypes.c_void_p),   # out_conf
+                ctypes.POINTER(ctypes.c_void_p),   # out_tb
+                ctypes.POINTER(ctypes.c_void_p),   # out_rec
+                ctypes.POINTER(ctypes.c_int64),    # out_n
+                ctypes.POINTER(ctypes.c_uint8),    # status
+            ]
             lib.mk_bench_event_rate.restype = ctypes.c_double
             lib.mk_bench_event_rate.argtypes = [
                 ctypes.c_int64, ctypes.c_int32,
@@ -900,3 +916,82 @@ def extract_full_stream(
         first = False
         if eof:
             break
+
+
+def sample_confidences_batch(
+    raws: list,
+    only_mapped_flags: list,
+    *,
+    collapse=None,
+    edge_filter=None,
+    n_threads: int | None = None,
+):
+    """Batched threshold-estimation decode: per-record status (1 = the
+    record has mod groups and consumes sampling quota) plus pooled
+    (threshold_base, confidence) arrays — one native call for the whole
+    chunk (thresholds.py group_confidences semantics). None if native is
+    unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    n = len(raws)
+    RecArr = ctypes.c_char_p * max(n, 1)
+    c_recs = RecArr(*raws)
+    lens = np.asarray([len(r) for r in raws] or [0], dtype=np.int64)
+    om = np.asarray(only_mapped_flags or [0], dtype=np.uint8)
+    blob = encode_collapse(collapse)
+    has_edge = edge_filter is not None
+    status = np.zeros(max(n, 1), dtype=np.uint8)
+    out_conf = ctypes.c_void_p()
+    out_tb = ctypes.c_void_p()
+    out_rec = ctypes.c_void_p()
+    out_n = ctypes.c_int64()
+    nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
+    rc = lib.mk_sample_confidences(
+        ctypes.cast(c_recs, ctypes.POINTER(ctypes.c_char_p)),
+        lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        om.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n,
+        1 if has_edge else 0,
+        edge_filter.start_trim if has_edge else 0,
+        edge_filter.end_trim if has_edge else 0,
+        1 if (has_edge and edge_filter.inverted) else 0,
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(blob),
+        nt,
+        ctypes.byref(out_conf), ctypes.byref(out_tb),
+        ctypes.byref(out_rec), ctypes.byref(out_n),
+        status.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc != 0:
+        raise RuntimeError("mk_sample_confidences failed")
+    try:
+        total = int(out_n.value)
+        conf = (
+            np.ctypeslib.as_array(
+                ctypes.cast(out_conf, ctypes.POINTER(ctypes.c_float)),
+                shape=(total,),
+            ).copy()
+            if total
+            else np.empty(0, dtype=np.float32)
+        )
+        tb = (
+            np.ctypeslib.as_array(
+                ctypes.cast(out_tb, ctypes.POINTER(ctypes.c_int8)),
+                shape=(total,),
+            ).copy()
+            if total
+            else np.empty(0, dtype=np.int8)
+        )
+        rec_idx = (
+            np.ctypeslib.as_array(
+                ctypes.cast(out_rec, ctypes.POINTER(ctypes.c_int32)),
+                shape=(total,),
+            ).copy()
+            if total
+            else np.empty(0, dtype=np.int32)
+        )
+    finally:
+        lib.mk_free_buf(out_conf)
+        lib.mk_free_buf(out_tb)
+        lib.mk_free_buf(out_rec)
+    return status[:n], conf, tb, rec_idx

@@ -247,7 +247,8 @@ def sample_reads(
     interval_size: int = 1_000_000,
     position_filter=None,
     only_mapped: bool | None = None,
-) -> dict[str, dict[int, list]]:
+    confidences_only: bool = False,
+) -> dict:
     """Sample reads; returns {read_name: {base_idx: [(codes, probs)]}}.
 
     Count-quota mode allocates per-contig quotas proportional to index
@@ -278,6 +279,44 @@ def sample_reads(
         from . import native as _native
 
         use_native = _native.available()
+
+    # confidences-only mode (threshold estimation): records batch through
+    # ONE native call per chunk that decodes and emits only the pooled
+    # argmax confidences — no per-read ctypes round trips or group
+    # marshalling (native mk_sample_confidences)
+    conf_mode = confidences_only and use_native
+    conf_parts: list = []
+    pending: list = []
+
+    def flush_pending() -> int:
+        """Decode the pending chunk in one native call, applying add()'s
+        seen/quota semantics record by record in order; confidences of
+        duplicate-name or groupless records are dropped."""
+        if not pending:
+            return 0
+        status, conf, tb, rec_idx = _native.sample_confidences_batch(
+            [rec.raw() for rec in pending],
+            [
+                1 if (only_mapped and not rec.is_unmapped) else 0
+                for rec in pending
+            ],
+            collapse=collapse,
+            edge_filter=edge_filter,
+        )
+        consumed = 0
+        keep = np.zeros(len(pending), dtype=bool)
+        for i, rec in enumerate(pending):
+            if rec.name in seen:
+                consumed += 1
+                continue
+            if status[i]:
+                seen.add(rec.name)
+                keep[i] = True
+                consumed += 1
+        mask = keep[rec_idx]
+        conf_parts.append((tb[mask], conf[mask]))
+        pending.clear()
+        return consumed
 
     def add(rec) -> bool:
         """Decode + stash one read; True if it consumes sampling quota.
@@ -375,8 +414,15 @@ def sample_reads(
                     if sample_frac is not None and sample_frac < 1.0:
                         if rng.random() >= sample_frac:
                             continue
-                    if add(rec):
+                    if conf_mode:
+                        pending.append(rec)
+                        if len(pending) >= 256 or (
+                            x is not None and taken + len(pending) >= x
+                        ):
+                            taken += flush_pending()
+                    elif add(rec):
                         taken += 1
+                taken += flush_pending()
         # unmapped tail (reads_sampler/mod.rs:89-125)
         if not only_mapped and (reader.n_no_coor() > 0 or len(seen) < 100):
             quota = (
@@ -391,8 +437,15 @@ def sample_reads(
                 if sample_frac is not None and sample_frac < 1.0:
                     if rng.random() >= sample_frac:
                         continue
-                if add(rec):
+                if conf_mode:
+                    pending.append(rec)
+                    if len(pending) >= 256 or (
+                        quota is not None and taken + len(pending) >= quota
+                    ):
+                        taken += flush_pending()
+                elif add(rec):
                     taken += 1
+            taken += flush_pending()
     else:
         # serial path
         taken = 0
@@ -404,9 +457,25 @@ def sample_reads(
             if sample_frac is not None and sample_frac < 1.0:
                 if rng.random() >= sample_frac:
                     continue
-            if add(rec):
+            if conf_mode:
+                pending.append(rec)
+                if len(pending) >= 256 or (
+                    num_reads is not None
+                    and taken + len(pending) >= num_reads
+                ):
+                    taken += flush_pending()
+            elif add(rec):
                 taken += 1
+        taken += flush_pending()
 
+    if conf_mode:
+        pooled: dict[int, list] = {}
+        for tb_a, cf_a in conf_parts:
+            for b in np.unique(tb_a):
+                pooled.setdefault(int(b), []).append(cf_a[tb_a == b])
+        return {b: np.concatenate(v) for b, v in pooled.items()}
+    if confidences_only:
+        return confidences_per_base(sampled)
     return sampled
 
 
@@ -423,13 +492,21 @@ def confidences_per_base(sampled: dict) -> dict[int, np.ndarray]:
 def thresholds_from_sampled(
     sampled: dict, filter_percentile: float
 ) -> dict[str, float]:
+    return thresholds_from_confidences(
+        confidences_per_base(sampled), filter_percentile
+    )
+
+
+def thresholds_from_confidences(
+    confs: dict, filter_percentile: float
+) -> dict[str, float]:
     """Per-base filter percentile; the sort runs on device when the
     adaptive offload policy says the transfer pays (SURVEY §7's device
     percentile kernel), host numpy otherwise — both bit-identical."""
     from .parallel.devices import offload_events_to_device
 
     out = {}
-    for b, v in confidences_per_base(sampled).items():
+    for b, v in confs.items():
         if len(v) >= 2 and offload_events_to_device(len(v), 4.0):
             out[DNA_BASES[b]] = float(
                 percentile_linear_interp_device(v, filter_percentile)
@@ -460,9 +537,9 @@ def estimate_thresholds(
     (thresholds.rs:82 calc_thresholds_per_base)."""
     if sample_frac is not None:
         num_reads = None
-    sampled = sample_reads(
+    confs = sample_reads(
         reader, num_reads, sample_frac, seed, include_unmapped, region,
         collapse, edge_filter, force_allow, interval_size,
-        position_filter,
+        position_filter, confidences_only=True,
     )
-    return thresholds_from_sampled(sampled, filter_percentile)
+    return thresholds_from_confidences(confs, filter_percentile)

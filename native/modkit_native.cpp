@@ -29,6 +29,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <memory>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -2897,6 +2898,177 @@ int32_t mk_extract_span(
   // n_reads mirrors the Python loop: errored reads tally in err_counts
   // and do not count as processed
   out->n_reads = (int32_t)(keep.size() - (size_t)n_err);
+  return 0;
+}
+
+// ------------------------------------------- batched confidence sampling
+// The threshold-estimation hot loop (thresholds.py sample_reads ->
+// group_confidences): decode MANY records in one call and emit only the
+// per-call argmax confidences per threshold base — no per-read ctypes
+// round trips, no group marshalling. status[i]: 1 = record contributed
+// groups (consumes sampling quota), 0 = decode error or no mod info.
+int32_t mk_sample_confidences(
+    const uint8_t** recs, const int64_t* lens, const uint8_t* only_mapped,
+    int32_t n, int32_t has_edge, int64_t edge_start, int64_t edge_end,
+    int32_t edge_inverted, const int64_t* collapse_blob,
+    int32_t collapse_len, int32_t n_threads, float** out_conf,
+    int8_t** out_tb, int32_t** out_rec, int64_t* out_n, uint8_t* status) {
+  std::vector<CollapseOp> collapse;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    collapse.push_back(std::move(op));
+  }
+  int nt = n_threads > 0 ? n_threads : 1;
+  if (nt > n) nt = n > 0 ? n : 1;
+  std::vector<std::vector<float>> confs(nt);
+  std::vector<std::vector<int8_t>> tbs(nt);
+  std::vector<std::vector<int32_t>> recs_of(nt);
+
+  auto one = [&](int t, int32_t ri) {
+    status[ri] = 0;
+    Rec r;
+    r.p = recs[ri];
+    r.len = lens[ri];
+    r.parse_head();
+    std::vector<uint8_t> fwd;
+    forward_seq(r, fwd);
+    ModInfo info;
+    try {
+      AuxTags aux = scan_aux(r);
+      if (aux.bad) throw MkError{E_INVALID_MM};
+      const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+      if (!mm.present) throw MkError{E_MM_MISSING};
+      if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+      const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+      if (!ml.present) throw MkError{E_ML_MISSING};
+      if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+      if (aux.mn_present) {
+        if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+        if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+      } else if (r.is_not_primary()) {
+        throw MkError{E_NON_PRIMARY_MN};
+      }
+      info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+    } catch (const MkError&) {
+      return;
+    }
+    std::vector<int32_t> qf, rp;
+    bool om = only_mapped[ri] != 0;
+    if (om) aligned_pairs_sorted(r, qf, rp);
+    bool any = false;
+    bool mutate = has_edge || !collapse.empty();
+    for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+      for (auto& g : info.groups) {
+        if (g.mod_strand != strand_pass) continue;
+        // common estimation path (no edge filter, no collapse) reads the
+        // group's buffers in place — no per-group copies
+        std::vector<int32_t>& positions = mutate ? *new std::vector<int32_t>(g.pos) : g.pos;
+        std::vector<float>& probs = mutate ? *new std::vector<float>(g.probs) : g.probs;
+        std::unique_ptr<std::vector<int32_t>> pos_own(
+            mutate ? &positions : nullptr);
+        std::unique_ptr<std::vector<float>> probs_own(
+            mutate ? &probs : nullptr);
+        std::vector<Code> gcodes = g.codes;
+        size_t gm = gcodes.size();
+        if (has_edge) {
+          if ((int64_t)r.l_seq <= edge_start + edge_end) continue;
+          int64_t lo = edge_start, hi = (int64_t)r.l_seq - edge_end;
+          std::vector<int32_t> np_;
+          std::vector<float> npr;
+          np_.reserve(positions.size());
+          npr.reserve(probs.size());
+          for (size_t i = 0; i < positions.size(); ++i) {
+            bool inside = positions[i] >= lo && positions[i] < hi;
+            bool keepi = edge_inverted ? !inside : inside;
+            if (keepi) {
+              np_.push_back(positions[i]);
+              for (size_t j = 0; j < gm; ++j)
+                npr.push_back(probs[i * gm + j]);
+            }
+          }
+          if (np_.empty()) continue;
+          positions = std::move(np_);
+          probs = std::move(npr);
+        }
+        for (const auto& op : collapse)
+          apply_collapse(gcodes, probs, gm, positions.size(), op);
+        // only_mapped: keep aligned positions (two-pointer intersect)
+        size_t n_keep = positions.size();
+        std::vector<size_t> keep_idx;
+        if (om) {
+          keep_idx.reserve(positions.size());
+          size_t k = 0;
+          for (size_t i = 0; i < positions.size(); ++i) {
+            while (k < qf.size() && qf[k] < positions[i]) ++k;
+            if (k < qf.size() && qf[k] == positions[i])
+              keep_idx.push_back(i);
+          }
+          if (keep_idx.empty()) continue;
+          n_keep = keep_idx.size();
+        }
+        int b_idx = base_char_to_idx(g.base);
+        int tb = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
+        for (size_t ki = 0; ki < n_keep; ++ki) {
+          size_t i = om ? keep_idx[ki] : ki;
+          const float* row = probs.data() + i * gm;
+          float live_sum = 0.0f, best = -1.0f;
+          bool present = false;
+          for (size_t j = 0; j < gm; ++j) {
+            float p = row[j];
+            if (p < 0.0f) continue;
+            live_sum += p;
+            if (!present || p > best) best = p;
+            present = true;
+          }
+          float canon = 1.0f - live_sum;
+          float conf = (present && best > canon) ? best : canon;
+          confs[t].push_back(conf);
+          tbs[t].push_back((int8_t)tb);
+          recs_of[t].push_back(ri);
+        }
+        any = true;
+      }
+    }
+    if (any) status[ri] = 1;
+  };
+
+  if (nt > 1) {
+    std::atomic<int32_t> next{0};
+    auto worker = [&](int t) {
+      for (;;) {
+        int32_t i = next.fetch_add(1);
+        if (i >= n) return;
+        one(t, i);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(worker, t);
+    for (auto& th : pool) th.join();
+  } else {
+    for (int32_t i = 0; i < n; ++i) one(0, i);
+  }
+  int64_t total = 0;
+  for (auto& v : confs) total += (int64_t)v.size();
+  *out_conf = (float*)std::malloc(total ? total * 4 : 4);
+  *out_tb = (int8_t*)std::malloc(total ? total : 1);
+  *out_rec = (int32_t*)std::malloc(total ? total * 4 : 4);
+  float* wf = *out_conf;
+  int8_t* wt = *out_tb;
+  int32_t* wr = *out_rec;
+  for (int t = 0; t < nt; ++t) {
+    std::memcpy(wf, confs[t].data(), confs[t].size() * 4);
+    wf += confs[t].size();
+    std::memcpy(wt, tbs[t].data(), tbs[t].size());
+    wt += tbs[t].size();
+    std::memcpy(wr, recs_of[t].data(), recs_of[t].size() * 4);
+    wr += recs_of[t].size();
+  }
+  *out_n = total;
   return 0;
 }
 
