@@ -212,6 +212,20 @@ def main():
 
     time_pileup("warm", "auto")  # jit compile
     best_auto = min(time_pileup(f"a{i}", "auto") for i in range(reps))
+    # default config: threshold estimation (10042-read sample) + filtered
+    # pileup — the BASELINE.json "sample-probs thresholding then filtered
+    # pileup" shape, exercising the batched native confidence sampler
+    os.environ["MODKIT_TPU_OFFLOAD"] = "auto"
+    t0 = time.perf_counter()
+    res = run_pileup(
+        PileupConfig(
+            in_bam=bam, out=os.path.join(tmp, "est.bed"),
+            use_device=True, suppress_progress=True,
+        )
+    )
+    est_wall = time.perf_counter() - t0
+    assert res["rows"] > 0
+    _note(f"pileup default (estimate+filter): {est_wall:.1f}s")
     # forced-device: the chip does the threshold+count stage regardless of
     # the link, so the device path is measured every round
     time_pileup("dwarm", "always")
@@ -247,6 +261,10 @@ def main():
                     "cpu_baseline_reads_per_s": round(n_reads / best_cpu, 1),
                     "positions_per_s": round(positions_per_s, 1),
                     "auto_wall_s": round(best_auto, 4),
+                    "default_filtered_wall_s": round(est_wall, 4),
+                    "default_filtered_reads_per_s": round(
+                        n_reads / est_wall, 1
+                    ),
                     "device_forced_wall_s": round(best_forced, 4),
                     "device_forced_reads_per_s": round(
                         n_reads / best_forced, 1
