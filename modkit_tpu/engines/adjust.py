@@ -185,11 +185,32 @@ def adjust_modbam(
     fail_fast: bool = False,
     output_sam: bool = False,
 ) -> dict:
-    """Serial rewrite loop (adjust.rs:211 adjust_modbam). Supports '-' as
+    """Streaming rewrite (adjust.rs:211 adjust_modbam). Supports '-' as
     stdin input and stdout output, and SAM text output (--output-sam), as
     in the reference's get_serial_reader/get_bam_writer
-    (command_utils.rs:212-240)."""
+    (command_utils.rs:212-240).
+
+    The hot path runs in the native C++ span engine (record decode ->
+    transform -> MM/ML re-encode, block-parallel across the thread pool)
+    with the per-record Python loop below as oracle/fallback
+    (tests/test_native_adjust.py asserts byte-equality of the record
+    streams)."""
     import sys
+
+    from .. import native as _native
+
+    if (
+        not fail_fast
+        and not output_sam
+        and in_bam not in ("-", "stdin")
+        and force_mm_style in (None, "MM")
+        and _native.available()
+    ):
+        return _adjust_modbam_native(
+            in_bam, out_bam, collapse_methods, caller, edge_filter,
+            filter_only, motifs, discard_motifs, new_mode, drop_implicit,
+            force_mm_style,
+        )
 
     reader = BamReader(in_bam)
     errors = ErrorTally()
@@ -219,3 +240,58 @@ def adjust_modbam(
                     raise
                 errors.add(e)
     return dict(records_written=n, errors=dict(errors))
+
+
+def _adjust_modbam_native(
+    in_bam, out_bam, collapse_methods, caller, edge_filter, filter_only,
+    motifs, discard_motifs, new_mode, drop_implicit, force_mm_style,
+) -> dict:
+    """Native streaming rewrite: spans of the compressed input decode,
+    transform, re-encode AND BGZF-recompress in C++ (native
+    mk_adjust_span with compress_level); Python only appends the finished
+    block stream after its header block."""
+    import os
+    import sys
+
+    from .. import native as _native
+    from ..io.bgzf import BGZF_EOF, _compress_block
+
+    reader = BamReader(in_bam)  # header + PG chain + mmap'd raw bytes
+    hdr = add_modkit_pg_records(reader.header)
+    raw = reader.bam_raw
+    if out_bam in ("-", "stdout"):
+        fh = sys.stdout.buffer
+        owns = False
+    else:
+        fh = open(out_bam, "wb")
+        owns = True
+    n = 0
+    errors: dict = {}
+    try:
+        hb = hdr.to_bytes()
+        for i in range(0, len(hb), 0xFF00):
+            fh.write(_compress_block(hb[i : i + 0xFF00], 6))
+        for blob, n_written, errs in _native.adjust_stream(
+            raw,
+            edge_filter=edge_filter,
+            collapse=list(collapse_methods) if collapse_methods else None,
+            caller=caller,
+            filter_only=filter_only,
+            motifs=motifs,
+            discard_motifs=discard_motifs,
+            new_mode=new_mode,
+            drop_implicit=drop_implicit,
+            force_mm_style=force_mm_style,
+            n_threads=min(os.cpu_count() or 1, 8),
+            compress_level=6,
+        ):
+            fh.write(blob)
+            n += n_written
+            for k, v in errs.items():
+                errors[k] = errors.get(k, 0) + v
+        fh.write(BGZF_EOF)
+        fh.flush()
+    finally:
+        if owns:
+            fh.close()
+    return dict(records_written=n, errors=errors)

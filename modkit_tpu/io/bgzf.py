@@ -194,6 +194,13 @@ class BgzfReader:
 
 
 def _compress_block(data: bytes, level: int) -> bytes:
+    # native codec (libdeflate, ~2-3x zlib — htslib's accelerated path)
+    # when available; pure-zlib fallback below is byte-compatible BGZF
+    from .. import native as _native
+
+    blk = _native.compress_block(data, level)
+    if blk is not None:
+        return blk
     comp = zlib.compressobj(level, zlib.DEFLATED, -15)
     payload = comp.compress(data) + comp.flush()
     bsize = len(payload) + 26
@@ -315,21 +322,7 @@ class BgzfWriter:
             del self._buf[:0xFF00]
 
     def _flush_block(self, data: bytes) -> None:
-        comp = zlib.compressobj(self._level, zlib.DEFLATED, -15)
-        payload = comp.compress(bytes(data)) + comp.flush()
-        bsize = len(payload) + 26
-        if bsize > 0x10000:
-            raise ValueError("BGZF block too large after compression")
-        block = (
-            b"\x1f\x8b\x08\x04\x00\x00\x00\x00\x00\xff"
-            + struct.pack("<H", 6)
-            + b"BC"
-            + struct.pack("<H", 2)
-            + struct.pack("<H", bsize - 1)
-            + payload
-            + struct.pack("<I", zlib.crc32(bytes(data)) & 0xFFFFFFFF)
-            + struct.pack("<I", len(data) & 0xFFFFFFFF)
-        )
+        block = _compress_block(bytes(data), self._level)
         self._fh.write(block)
         self._coffset += len(block)
 

@@ -94,16 +94,32 @@ class _MkGroupsOut(ctypes.Structure):
     ]
 
 
+class _MkAdjustOut(ctypes.Structure):
+    _fields_ = [
+        ("blob", ctypes.c_void_p),
+        ("blob_len", ctypes.c_int64),
+        ("carry", ctypes.c_void_p),
+        ("carry_len", ctypes.c_int64),
+        ("next_off", ctypes.c_int64),
+        ("n_written", ctypes.c_int32),
+        ("eof", ctypes.c_int32),
+        ("err_counts", ctypes.c_int64 * 16),
+    ]
+
+
 def _build() -> None:
-    subprocess.run(
-        [
-            os.environ.get("CXX", "g++"),
-            "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
-            "-shared", "-o", _SO, _SRC, "-lz",
-        ],
-        check=True,
-        capture_output=True,
-    )
+    base = [
+        os.environ.get("CXX", "g++"),
+        "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
+        "-shared", "-o", _SO, _SRC, "-lz",
+    ]
+    try:
+        # libdeflate (htslib's accelerated BGZF codec) when present
+        subprocess.run(base + ["-ldeflate"], check=True, capture_output=True)
+    except subprocess.CalledProcessError:
+        subprocess.run(
+            base + ["-DMK_NO_LIBDEFLATE"], check=True, capture_output=True
+        )
 
 
 def load():
@@ -284,6 +300,38 @@ def load():
             ]
             lib.mk_free_groups.restype = None
             lib.mk_free_groups.argtypes = [ctypes.POINTER(_MkGroupsOut)]
+            lib.mk_adjust_span.restype = ctypes.c_int32
+            lib.mk_adjust_span.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.c_int64, ctypes.c_int64,    # start_off, max_comp
+                ctypes.c_char_p, ctypes.c_int64,   # carry, carry_len
+                ctypes.c_int32,                    # parse_header
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,                    # edge args
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
+                ctypes.c_int32,                    # caller_mode
+                ctypes.POINTER(ctypes.c_int64),    # pm_codes
+                ctypes.POINTER(ctypes.c_float),    # pm_vals
+                ctypes.c_int32,                    # n_pm
+                ctypes.POINTER(ctypes.c_float),    # fallback_mod4
+                ctypes.POINTER(ctypes.c_float),    # can_thr4
+                ctypes.POINTER(ctypes.c_int64),    # motif blob
+                ctypes.c_int32,                    # motif blob len
+                ctypes.c_int32,                    # discard_motifs
+                ctypes.c_int32,                    # new_mode
+                ctypes.c_int32,                    # drop_implicit
+                ctypes.c_int32,                    # force_mm_upper
+                ctypes.c_int32,                    # compress_level
+                ctypes.c_int32,                    # n_threads
+                ctypes.POINTER(_MkAdjustOut),
+            ]
+            lib.mk_free_adjust.restype = None
+            lib.mk_free_adjust.argtypes = [ctypes.POINTER(_MkAdjustOut)]
+            lib.mk_compress_block.restype = ctypes.c_int64
+            lib.mk_compress_block.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
@@ -995,3 +1043,162 @@ def sample_confidences_batch(
         lib.mk_free_buf(out_tb)
         lib.mk_free_buf(out_rec)
     return status[:n], conf, tb, rec_idx
+
+
+def _motif_blob(motifs) -> np.ndarray | None:
+    """Serialize sequence motifs as int64 [n, (offset, len, mask...)] with
+    4-bit IUPAC base-class masks per position (A=1, C=2, G=4, T=8)."""
+    if not motifs:
+        return None
+    bit = {"A": 1, "C": 2, "G": 4, "T": 8}
+    vals: list[int] = [len(motifs)]
+    for m in motifs:
+        vals.append(int(m.forward_offset))
+        classes = m.classes()
+        vals.append(len(classes))
+        for cl in classes:
+            vals.append(sum(bit[c] for c in cl))
+    return np.asarray(vals, dtype=np.int64)
+
+
+def adjust_stream(
+    raw: bytes,
+    *,
+    edge_filter=None,
+    collapse=None,
+    caller=None,
+    filter_only: bool = False,
+    motifs=None,
+    discard_motifs: bool = False,
+    new_mode: str | None = None,
+    drop_implicit: bool = False,
+    force_mm_style: str | None = None,
+    n_threads: int | None = None,
+    span_comp_bytes: int = 8 << 20,
+    compress_level: int = -1,
+):
+    """Stream rewritten modBAM records from the compressed BAM bytes.
+
+    Yields (blob, n_written, errors) per ~span_comp_bytes span; ``blob`` is
+    a concatenation of ``<i32 len><record bytes>`` items byte-identical to
+    the Python engines.adjust.adjust_record_tags path
+    (tests/test_native_adjust.py). Reference: src/adjust.rs:211
+    adjust_modbam + src/mod_bam.rs:1299 format_mm_ml_tag.
+    """
+    lib = load()
+    if lib is None:
+        return
+    blob = encode_collapse(collapse)
+    c_blob = blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    has_edge = edge_filter is not None
+    nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
+
+    caller_mode = 0
+    pm_codes = np.zeros(1, dtype=np.int64)
+    pm_vals = np.zeros(1, dtype=np.float32)
+    fb4 = np.zeros(4, dtype=np.float32)
+    cn4 = np.zeros(4, dtype=np.float32)
+    n_pm = 0
+    if caller is not None:
+        from ..modcodes import DNA_BASES, any_mod_code
+
+        caller_mode = 1 if filter_only else 2
+        items = list(caller.per_mod.items())
+        n_pm = len(items)
+        pm_codes = np.array(
+            [encode_code(c) for c, _ in items] or [0], dtype=np.int64
+        )
+        pm_vals = np.array(
+            [float(v) for _, v in items] or [0.0], dtype=np.float32
+        )
+        for b, base in enumerate(DNA_BASES):
+            t = caller.per_mod.get(any_mod_code(base))
+            if t is None:
+                t = caller.per_base.get(base)
+            if t is None:
+                t = caller.default_threshold
+            fb4[b] = float(t)
+            cn4[b] = caller.canonical_threshold(base)
+
+    mblob = _motif_blob(motifs)
+    c_mblob = (
+        mblob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+        if mblob is not None
+        else None
+    )
+    from ..modtags import EXPLICIT, IMPLICIT
+
+    nm = -1
+    if new_mode == EXPLICIT:
+        nm = 0
+    elif new_mode == IMPLICIT:
+        nm = 1
+    elif new_mode is not None:
+        nm = 2
+
+    off = 0
+    carry = b""
+    first = True
+    while True:
+        out = _MkAdjustOut()
+        rc = lib.mk_adjust_span(
+            raw, len(raw), off, span_comp_bytes, carry, len(carry),
+            1 if first else 0,
+            1 if has_edge else 0,
+            edge_filter.start_trim if has_edge else 0,
+            edge_filter.end_trim if has_edge else 0,
+            1 if (has_edge and edge_filter.inverted) else 0,
+            c_blob, len(blob),
+            caller_mode,
+            pm_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pm_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            n_pm,
+            fb4.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cn4.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            c_mblob, len(mblob) if mblob is not None else 0,
+            1 if discard_motifs else 0,
+            nm, 1 if drop_implicit else 0,
+            1 if force_mm_style == "MM" else 0,
+            compress_level, nt, ctypes.byref(out),
+        )
+        if rc != 0:
+            raise RuntimeError(f"mk_adjust_span failed rc={rc}")
+        try:
+            data = (
+                ctypes.string_at(out.blob, out.blob_len)
+                if out.blob_len
+                else b""
+            )
+            carry = (
+                ctypes.string_at(out.carry, out.carry_len)
+                if out.carry_len
+                else b""
+            )
+            errors = {
+                ERR_KINDS[i]: int(out.err_counts[i])
+                for i in range(len(ERR_KINDS))
+                if out.err_counts[i]
+            }
+            yield data, int(out.n_written), errors
+            eof = bool(out.eof)
+            off = out.next_off
+        finally:
+            lib.mk_free_adjust(ctypes.byref(out))
+        first = False
+        if eof:
+            break
+
+
+def compress_block(data: bytes, level: int = 6) -> bytes | None:
+    """One BGZF block via the native codec (libdeflate when built in);
+    None when the native library is unavailable or the block is oversize.
+    Used by io.bgzf writers — ctypes drops the GIL, so pooled writer
+    threads scale on multi-core hosts."""
+    lib = load()
+    if lib is None or len(data) > 0xFF00:
+        return None
+    dst = (ctypes.c_uint8 * 0x10000)()
+    n = lib.mk_compress_block(data, len(data), dst, level)
+    if n <= 0:
+        return None
+    return bytes(bytearray(dst)[:n])

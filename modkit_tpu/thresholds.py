@@ -500,14 +500,22 @@ def thresholds_from_sampled(
 def thresholds_from_confidences(
     confs: dict, filter_percentile: float
 ) -> dict[str, float]:
-    """Per-base filter percentile; the sort runs on device when the
-    adaptive offload policy says the transfer pays (SURVEY §7's device
-    percentile kernel), host numpy otherwise — both bit-identical."""
-    from .parallel.devices import offload_events_to_device
+    """Per-base filter percentile; host numpy sort by default, device sort
+    (SURVEY §7's device percentile kernel) under MODKIT_TPU_OFFLOAD=always
+    — both bit-identical.
 
+    The sort is NOT routed through the adaptive counting policy: a host
+    sort of the few-Mevent confidence vector is O(100 ms), while the
+    device path pays a per-bucket jit compile (tens of seconds on a
+    tunneled chip) plus a full transfer — it can never win here, and
+    routing it through the counting policy cost the default
+    estimate+filter pileup ~4.5 s per run (round-4 profile)."""
+    import os
+
+    force_device = os.environ.get("MODKIT_TPU_OFFLOAD") == "always"
     out = {}
     for b, v in confs.items():
-        if len(v) >= 2 and offload_events_to_device(len(v), 4.0):
+        if len(v) >= 2 and force_device:
             out[DNA_BASES[b]] = float(
                 percentile_linear_interp_device(v, filter_percentile)
             )

@@ -33,7 +33,13 @@
 #include <string>
 #include <thread>
 #include <unordered_map>
+#include <unordered_set>
 #include <vector>
+
+#if !defined(MK_NO_LIBDEFLATE) && __has_include(<libdeflate.h>)
+#include <libdeflate.h>
+#define MK_HAVE_LIBDEFLATE 1
+#endif
 
 namespace {
 
@@ -1545,6 +1551,17 @@ static bool bgzf_block_info(const uint8_t* raw, int64_t len, int64_t off,
 
 static bool inflate_block_raw(const uint8_t* src, int64_t slen, uint8_t* dst,
                               int64_t dcap) {
+#ifdef MK_HAVE_LIBDEFLATE
+  // libdeflate decodes BGZF blocks ~2-3x faster than zlib inflate — the
+  // same accelerated codec htslib links when available
+  thread_local libdeflate_decompressor* dec = libdeflate_alloc_decompressor();
+  if (dec) {
+    size_t actual = 0;
+    enum libdeflate_result rc = libdeflate_deflate_decompress(
+        dec, src, (size_t)slen, dst, (size_t)dcap, &actual);
+    return rc == LIBDEFLATE_SUCCESS && (int64_t)actual == dcap;
+  }
+#endif
   z_stream zs{};
   if (inflateInit2(&zs, -15) != Z_OK) return false;
   zs.next_in = const_cast<Bytef*>(src);
@@ -1554,6 +1571,59 @@ static bool inflate_block_raw(const uint8_t* src, int64_t slen, uint8_t* dst,
   int rc = inflate(&zs, Z_FINISH);
   inflateEnd(&zs);
   return rc == Z_STREAM_END;
+}
+
+// One BGZF block (gzip header + raw deflate + crc/isize trailer) from up
+// to 0xFF00 input bytes; returns the block size, 0 on failure. libdeflate
+// when available (htslib's accelerated codec), zlib otherwise.
+static size_t bgzf_compress_block(const uint8_t* src, size_t n, uint8_t* dst,
+                                  int level) {
+  size_t payload = 0;
+  uint32_t crc = 0;
+#ifdef MK_HAVE_LIBDEFLATE
+  thread_local libdeflate_compressor* comp = nullptr;
+  thread_local int comp_level = -1;
+  if (comp == nullptr || comp_level != level) {
+    if (comp) libdeflate_free_compressor(comp);
+    comp = libdeflate_alloc_compressor(level);
+    comp_level = level;
+  }
+  if (comp) {
+    payload = libdeflate_deflate_compress(comp, src, n, dst + 18,
+                                          0x10000 - 26);
+    if (payload == 0) return 0;
+    crc = libdeflate_crc32(0, src, n);
+  } else
+#endif
+  {
+    z_stream zs{};
+    if (deflateInit2(&zs, level, Z_DEFLATED, -15, 8,
+                     Z_DEFAULT_STRATEGY) != Z_OK)
+      return 0;
+    zs.next_in = const_cast<Bytef*>(src);
+    zs.avail_in = (uInt)n;
+    zs.next_out = dst + 18;
+    zs.avail_out = 0x10000 - 26;
+    int rc = deflate(&zs, Z_FINISH);
+    payload = 0x10000 - 26 - zs.avail_out;
+    deflateEnd(&zs);
+    if (rc != Z_STREAM_END) return 0;
+    crc = (uint32_t)crc32(0, src, n);
+  }
+  size_t bsize = payload + 26;
+  static const uint8_t gz_head[12] = {0x1f, 0x8b, 0x08, 0x04, 0, 0,
+                                      0,    0,    0,    0xff, 6, 0};
+  std::memcpy(dst, gz_head, 12);
+  dst[12] = 'B';
+  dst[13] = 'C';
+  dst[14] = 2;
+  dst[15] = 0;
+  uint16_t bs16 = (uint16_t)(bsize - 1);
+  std::memcpy(dst + 16, &bs16, 2);
+  uint32_t isize = (uint32_t)n;
+  std::memcpy(dst + 18 + payload, &crc, 4);
+  std::memcpy(dst + 22 + payload, &isize, 4);
+  return bsize;
 }
 
 int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
@@ -3085,6 +3155,617 @@ void mk_free_extract(MkExtractOut* out) {
   std::free(out->text);
   std::free(out->carry);
   out->text = nullptr;
+  out->carry = nullptr;
+}
+
+// ----------------------------------------------- native modBAM rewriters
+// The adjust-mods / call-mods / update-tags hot loop (engines/adjust.py
+// adjust_record_tags, reference src/adjust.rs:115 adjust_mod_probs +
+// src/mod_bam.rs:1299 format_mm_ml_tag): decode -> transform (edge filter
+// -> collapse/convert -> threshold call -> motif keep/discard -> mode
+// change) -> re-encode MM/ML -> rebuild the record with the new tags.
+// Spans of the compressed input stream process block-parallel like
+// mk_extract_span; the rewritten records return as one length-prefixed
+// blob that Python streams through its parallel BGZF writer.
+
+struct SeqMotifC {
+  int64_t offset;
+  std::vector<uint8_t> masks;  // 4-bit base class per motif position
+};
+
+struct AdjustOpts {
+  bool has_edge = false;
+  int64_t edge_start = 0, edge_end = 0;
+  bool edge_inverted = false;
+  std::vector<CollapseOp> collapse;
+  int caller_mode = 0;  // 0 none, 1 filter-only, 2 hard calls
+  std::vector<std::pair<Code, float>> per_mod;
+  float fallback_mod[4] = {0, 0, 0, 0};
+  float can_thr[4] = {0, 0, 0, 0};
+  bool has_motifs = false;
+  std::vector<SeqMotifC> motifs;
+  bool discard_motifs = false;
+  int new_mode = -1;  // MODE_* or -1 = keep
+  bool drop_implicit = false;
+  bool force_mm_upper = false;  // force "MM"/"ML" output tags
+
+  float mod_thr(Code c, int base_idx) const {
+    for (auto& kv : per_mod)
+      if (kv.first == c) return kv.second;
+    return fallback_mod[base_idx];
+  }
+};
+
+// Copy every aux item except MM/Mm/ML/Ml, preserving order (the Python
+// BamRecord.with_replaced_aux walk, io/bam.py:286).
+static bool copy_aux_except_mods(const Rec& r, std::string& out) {
+  const uint8_t* buf = r.p;
+  int64_t p = r.aux_off(), end = r.len;
+  while (p + 3 <= end) {
+    int64_t item = p;
+    char t0 = (char)buf[p], t1 = (char)buf[p + 1];
+    char typ = (char)buf[p + 2];
+    p += 3;
+    switch (typ) {
+      case 'A': case 'c': case 'C': p += 1; break;
+      case 's': case 'S': p += 2; break;
+      case 'i': case 'I': case 'f': p += 4; break;
+      case 'Z': case 'H': {
+        while (p < end && buf[p] != 0) ++p;
+        if (p >= end) return false;
+        ++p;
+        break;
+      }
+      case 'B': {
+        if (p + 5 > end) return false;
+        char sub = (char)buf[p];
+        uint32_t n;
+        std::memcpy(&n, buf + p + 1, 4);
+        int isz = aux_b_itemsize(sub);
+        if (isz < 0) return false;
+        p += 5 + (int64_t)n * isz;
+        break;
+      }
+      default:
+        return false;
+    }
+    if (p > end) return false;
+    bool is_mod = t0 == 'M' && (t1 == 'M' || t1 == 'm' || t1 == 'L' || t1 == 'l');
+    if (!is_mod) out.append((const char*)(buf + item), p - item);
+  }
+  return true;
+}
+
+// prob -> ML byte (modtags.py:191 prob_to_qual; mod_bam.rs:798)
+static inline uint8_t prob_to_qual_c(float p) {
+  if (p == 1.0f) return 255;
+  float q = std::floor(p * 256.0f);
+  if (q < 0.0f) return 0;
+  if (q > 255.0f) return 255;
+  return (uint8_t)q;
+}
+
+// Rewrite one record's MM/ML; appends <i32 len><record bytes> to out.
+// Throws MkError for records the reference drops (adjust.rs:239-258).
+static void adjust_one_record(const Rec& r, const AdjustOpts& o,
+                              std::string& out) {
+  AuxTags at = scan_aux(r);
+  if (at.bad) throw MkError{E_INVALID_MM};
+  const TagSlot* mm = at.mm_up.present ? &at.mm_up : &at.mm_lo;
+  bool mm_upper = at.mm_up.present;
+  if (!mm->present) throw MkError{E_MM_MISSING};
+  if (!mm->z) throw MkError{E_INVALID_MM};
+  const TagSlot* ml = at.ml_up.present ? &at.ml_up : &at.ml_lo;
+  bool ml_upper = at.ml_up.present;
+  if (!ml->present) throw MkError{E_ML_MISSING};
+  if (ml->b_n < 0) throw MkError{E_INVALID_ML};
+  if (at.mn_present) {
+    if (at.mn_wrong_type || at.mn_value != (int64_t)r.l_seq)
+      throw MkError{E_INVALID_MN};
+  } else if (r.is_not_primary()) {
+    throw MkError{E_NON_PRIMARY_MN};
+  }
+
+  std::vector<uint8_t> fwd;
+  forward_seq(r, fwd);
+  ModInfo info = decode_read_mods(fwd, mm->z, ml->b, ml->b_n);
+
+  // basecall-space motif positions (adjust.py SequenceMotifs: forward
+  // pattern over the instrument-orientation sequence + offset)
+  std::vector<int32_t> motif_pos;
+  if (o.has_motifs) {
+    for (auto& sm : o.motifs) {
+      int64_t L = (int64_t)sm.masks.size();
+      for (int64_t s = 0; s + L <= (int64_t)fwd.size(); ++s) {
+        bool ok = true;
+        for (int64_t j = 0; j < L; ++j) {
+          int bi = T.base_lut[fwd[s + j]];
+          if (bi < 0 || !((sm.masks[j] >> bi) & 1)) {
+            ok = false;
+            break;
+          }
+        }
+        if (ok) motif_pos.push_back((int32_t)(s + sm.offset));
+      }
+    }
+    std::sort(motif_pos.begin(), motif_pos.end());
+    motif_pos.erase(std::unique(motif_pos.begin(), motif_pos.end()),
+                    motif_pos.end());
+  }
+
+  // per-base occurrence cache for delta re-encoding
+  std::vector<int32_t> occ_cache[4];
+  bool occ_done[4] = {false, false, false, false};
+  auto base_occ = [&](char b) -> const std::vector<int32_t>& {
+    int s = base_idx_of(b);
+    if (!occ_done[s]) {
+      auto& v = occ_cache[s];
+      v.reserve(fwd.size() / 3);
+      for (size_t i = 0; i < fwd.size(); ++i)
+        if ((char)fwd[i] == b) v.push_back((int32_t)i);
+      occ_done[s] = true;
+    }
+    return occ_cache[s];
+  };
+
+  std::string mm_out;
+  std::vector<uint8_t> ml_out;
+
+  // iter_groups order: positive mod-strand groups then negative, each in
+  // first-seen key order (modtags.py:259)
+  for (int strand = 0; strand < 2; ++strand) {
+    for (auto& g0 : info.groups) {
+      if (g0.mod_strand != strand) continue;
+      std::vector<int32_t> pos = g0.pos;
+      std::vector<Code> codes = g0.codes;
+      std::vector<float> probs = g0.probs;
+      std::vector<uint8_t> inferred = g0.inferred;
+      int mode = g0.mode;
+      size_t m = codes.size();
+      size_t n = pos.size();
+
+      auto filter_rows = [&](const std::vector<uint8_t>& keep) {
+        size_t w = 0;
+        for (size_t i = 0; i < n; ++i) {
+          if (!keep[i]) continue;
+          if (w != i) {
+            pos[w] = pos[i];
+            inferred[w] = inferred[i];
+            for (size_t j = 0; j < m; ++j) probs[w * m + j] = probs[i * m + j];
+          }
+          ++w;
+        }
+        n = w;
+        pos.resize(n);
+        inferred.resize(n);
+        probs.resize(n * m);
+      };
+
+      if (o.has_edge) {
+        // mod_bam.rs:1635 EdgeFilter; whole group skipped when the read
+        // is too short to trim (adjust.py:78-86)
+        if ((int64_t)r.l_seq <= o.edge_start + o.edge_end) continue;
+        std::vector<uint8_t> keep(n);
+        bool any = false;
+        int64_t lo = o.edge_start, hi = (int64_t)r.l_seq - o.edge_end;
+        for (size_t i = 0; i < n; ++i) {
+          bool inside = pos[i] >= lo && pos[i] < hi;
+          keep[i] = (o.edge_inverted ? !inside : inside) ? 1 : 0;
+          any |= keep[i] != 0;
+        }
+        if (!any) continue;
+        filter_rows(keep);
+        mode = MODE_EXPLICIT;  // mod_bam.rs:1097 edge filter forces '?'
+      }
+
+      for (auto& op : o.collapse) apply_collapse(codes, probs, m, n, op);
+
+      if (o.caller_mode) {
+        int bidx = base_idx_of(g0.base);
+        std::vector<float> thr(m);
+        for (size_t j = 0; j < m; ++j) thr[j] = o.mod_thr(codes[j], bidx);
+        float cth = o.can_thr[bidx];
+        std::vector<uint8_t> keep(n);
+        for (size_t i = 0; i < n; ++i) {
+          float* row = m ? &probs[i * m] : nullptr;
+          float live = 0.0f;
+          for (size_t j = 0; j < m; ++j)
+            live += (row[j] >= 0.0f) ? row[j] : 0.0f;
+          float canon = 1.0f - live;
+          float best = -std::numeric_limits<float>::infinity();
+          int64_t rev = -1;
+          bool any_mod = false;
+          for (size_t j = 0; j < m; ++j) {
+            float p = row[j];
+            if (p >= 0.0f && p >= thr[j]) {
+              any_mod = true;
+              if (p >= best) {  // later code wins ties (adjust.py:102 rev)
+                best = p;
+                rev = (int64_t)j;
+              }
+            }
+          }
+          bool pass_can = canon >= cth;
+          bool choose_can = pass_can && (!any_mod || canon >= best);
+          bool filtered = !(choose_can || any_mod);
+          keep[i] = filtered ? 0 : 1;
+          if (keep[i] && o.caller_mode == 2) {
+            // hard calls: winner -> 1.0, others present -> 0.0
+            for (size_t j = 0; j < m; ++j)
+              row[j] = (row[j] >= 0.0f) ? 0.0f : -1.0f;
+            if (!choose_can) row[rev] = 1.0f;
+          }
+        }
+        filter_rows(keep);
+        mode = MODE_EXPLICIT;  // threshold_mod_caller.rs:121 forces '?'
+      }
+
+      if (o.has_motifs) {
+        std::vector<uint8_t> keep(n);
+        for (size_t i = 0; i < n; ++i) {
+          bool hit = std::binary_search(motif_pos.begin(), motif_pos.end(),
+                                        pos[i]);
+          keep[i] = (o.discard_motifs ? !hit : hit) ? 1 : 0;
+        }
+        filter_rows(keep);
+        mode = MODE_EXPLICIT;  // adjust.rs:110 forces '?'
+      }
+
+      if (o.new_mode >= 0) {
+        if (o.drop_implicit && o.new_mode == MODE_EXPLICIT) {
+          std::vector<uint8_t> keep(n);
+          for (size_t i = 0; i < n; ++i) keep[i] = inferred[i] ? 0 : 1;
+          filter_rows(keep);
+          mode = MODE_EXPLICIT;
+        } else {
+          mode = o.new_mode;
+        }
+      }
+
+      // ---- format_mm_ml (modtags.py:478; mod_bam.rs:1299) ----
+      const auto& bp = base_occ(g0.base);
+      const char* mode_label =
+          mode == MODE_EXPLICIT ? "?" : (mode == MODE_IMPLICIT ? "." : "");
+      bool implicit = mode_is_implicit(mode);
+      char strand_ch = strand == 0 ? '+' : '-';
+      std::vector<size_t> order(m);
+      for (size_t j = 0; j < m; ++j) order[j] = j;
+      std::stable_sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+        return code_less(codes[a], codes[b]);
+      });
+      bool any_entry = false;
+      char tmp[24];
+      for (size_t oi = 0; oi < m; ++oi) {
+        size_t col = order[oi];
+        bool any_present = false;
+        for (size_t i = 0; i < n; ++i)
+          if (probs[i * m + col] >= 0.0f) {
+            any_present = true;
+            break;
+          }
+        if (!any_present) continue;  // code absent everywhere: no sub-tag
+        any_entry = true;
+        mm_out += g0.base;
+        mm_out += strand_ch;
+        char* q = put_code_ex(tmp, codes[col]);
+        mm_out.append(tmp, q - tmp);
+        mm_out += mode_label;
+        // written = present & ~(inferred & implicit); delta-encode via a
+        // forward walk over the base occurrence list
+        size_t k = 0;
+        int64_t prev_occ = -1;
+        bool wrote = false;
+        for (size_t i = 0; i < n; ++i) {
+          if (probs[i * m + col] < 0.0f) continue;
+          if (implicit && inferred[i]) continue;
+          while (k < bp.size() && bp[k] < pos[i]) ++k;
+          // pos[i] is always an occurrence of the base
+          mm_out += ',';
+          q = put_u_ex(tmp, (int64_t)k - prev_occ - 1);
+          mm_out.append(tmp, q - tmp);
+          prev_occ = (int64_t)k;
+          ml_out.push_back(prob_to_qual_c(probs[i * m + col]));
+          wrote = true;
+        }
+        (void)wrote;
+        mm_out += ';';
+      }
+      if (!any_entry) {
+        // no codes at all: "any mod" char for the base (mod_bam.rs:1332)
+        mm_out += g0.base;
+        mm_out += strand_ch;
+        mm_out += g0.base;  // any_mod_code(base) == the base char
+        mm_out += mode_label;
+        mm_out += ';';
+      }
+    }
+  }
+
+  // ---- rebuild the record with replaced MM/ML aux ----
+  size_t rec_start = out.size();
+  out.append(4, '\0');  // length prefix patched below
+  out.append((const char*)r.p, r.aux_off());
+  if (!copy_aux_except_mods(r, out)) throw MkError{E_INVALID_MM};
+  bool out_upper = o.force_mm_upper || mm_upper;
+  out += 'M';
+  out += out_upper ? 'M' : 'm';
+  out += 'Z';
+  out += mm_out;
+  out += '\0';
+  out += 'M';
+  out += (out_upper || ml_upper) ? 'L' : 'l';
+  out += 'B';
+  out += 'C';
+  uint32_t nml = (uint32_t)ml_out.size();
+  out.append((const char*)&nml, 4);
+  out.append((const char*)ml_out.data(), ml_out.size());
+  int32_t rec_len = (int32_t)(out.size() - rec_start - 4);
+  std::memcpy(&out[rec_start], &rec_len, 4);
+}
+
+struct MkAdjustOut {
+  uint8_t* blob;
+  int64_t blob_len;
+  uint8_t* carry;
+  int64_t carry_len;
+  int64_t next_off;
+  int32_t n_written;
+  int32_t eof;
+  int64_t err_counts[16];
+};
+
+// Rewrite one span of the compressed BAM stream (mk_extract_span framing:
+// start_off at a BGZF boundary, carry = partial record tail).
+int32_t mk_adjust_span(
+    const uint8_t* raw, int64_t raw_len, int64_t start_off, int64_t max_comp,
+    const uint8_t* carry, int64_t carry_len, int32_t parse_header,
+    int32_t has_edge, int64_t edge_start, int64_t edge_end,
+    int32_t edge_inverted, const int64_t* collapse_blob, int32_t collapse_len,
+    int32_t caller_mode, const int64_t* pm_codes, const float* pm_vals,
+    int32_t n_pm, const float* fallback_mod4, const float* can_thr4,
+    const int64_t* motif_blob, int32_t motif_len, int32_t discard_motifs,
+    int32_t new_mode, int32_t drop_implicit, int32_t force_mm_upper,
+    int32_t compress_level, int32_t n_threads, MkAdjustOut* out) {
+  std::memset(out, 0, sizeof(MkAdjustOut));
+  AdjustOpts opts;
+  opts.has_edge = has_edge != 0;
+  opts.edge_start = edge_start;
+  opts.edge_end = edge_end;
+  opts.edge_inverted = edge_inverted != 0;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    opts.collapse.push_back(std::move(op));
+  }
+  opts.caller_mode = caller_mode;
+  if (caller_mode) {
+    for (int32_t i = 0; i < n_pm; ++i)
+      opts.per_mod.emplace_back(pm_codes[i], pm_vals[i]);
+    for (int b = 0; b < 4; ++b) {
+      opts.fallback_mod[b] = fallback_mod4[b];
+      opts.can_thr[b] = can_thr4[b];
+    }
+  }
+  // motif blob: [n_motifs, (offset, len, mask0..maskLen-1)...]
+  if (motif_len > 0) {
+    opts.has_motifs = true;
+    int32_t i = 0;
+    int64_t nm = motif_blob[i++];
+    for (int64_t mi = 0; mi < nm; ++mi) {
+      SeqMotifC sm;
+      sm.offset = motif_blob[i++];
+      int64_t L = motif_blob[i++];
+      for (int64_t j = 0; j < L; ++j)
+        sm.masks.push_back((uint8_t)motif_blob[i++]);
+      opts.motifs.push_back(std::move(sm));
+    }
+    opts.discard_motifs = discard_motifs != 0;
+  }
+  opts.new_mode = new_mode;
+  opts.drop_implicit = drop_implicit != 0;
+  opts.force_mm_upper = force_mm_upper != 0;
+
+  // 1) walk blocks for this span
+  struct Blk {
+    int64_t data_off, data_len, isize;
+  };
+  std::vector<Blk> blks;
+  int64_t off = start_off, comp_used = 0, total_isize = 0;
+  while (off < raw_len && comp_used < max_comp) {
+    int64_t bs, doff, dlen;
+    if (!bgzf_block_info(raw, raw_len, off, &bs, &doff, &dlen)) break;
+    uint32_t isize;
+    std::memcpy(&isize, raw + off + bs - 4, 4);
+    blks.push_back({doff, dlen, (int64_t)isize});
+    total_isize += isize;
+    comp_used += bs;
+    off += bs;
+  }
+  out->next_off = off;
+  out->eof = off >= raw_len ? 1 : 0;
+
+  // 2) inflate in parallel
+  std::vector<uint8_t> data(carry_len + total_isize);
+  if (carry_len) std::memcpy(data.data(), carry, carry_len);
+  std::vector<int64_t> dst_off(blks.size());
+  {
+    int64_t c = carry_len;
+    for (size_t i = 0; i < blks.size(); ++i) {
+      dst_off[i] = c;
+      c += blks[i].isize;
+    }
+  }
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::atomic<size_t> next{0};
+  std::atomic<bool> infl_ok{true};
+  auto inflate_worker = [&]() {
+    for (;;) {
+      size_t i = next.fetch_add(1);
+      if (i >= blks.size()) return;
+      if (blks[i].isize == 0) continue;
+      if (!inflate_block_raw(raw + blks[i].data_off, blks[i].data_len,
+                             data.data() + dst_off[i], blks[i].isize))
+        infl_ok.store(false);
+    }
+  };
+  if (nt > 1 && blks.size() > 1) {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < nt; ++t) pool.emplace_back(inflate_worker);
+    for (auto& th : pool) th.join();
+  } else {
+    inflate_worker();
+  }
+  if (!infl_ok.load()) return 2;
+
+  // 3) optionally skip the BAM header (first span)
+  int64_t p = 0, dlen_total = (int64_t)data.size();
+  if (parse_header) {
+    if (dlen_total < 12 || std::memcmp(data.data(), "BAM\1", 4) != 0)
+      return 3;
+    int32_t l_text;
+    std::memcpy(&l_text, data.data() + 4, 4);
+    p = 8 + l_text;
+    if (p + 4 > dlen_total) return 3;
+    int32_t n_ref;
+    std::memcpy(&n_ref, data.data() + p, 4);
+    p += 4;
+    for (int32_t i = 0; i < n_ref; ++i) {
+      if (p + 4 > dlen_total) return 3;
+      int32_t l_name;
+      std::memcpy(&l_name, data.data() + p, 4);
+      p += 4 + l_name + 4;
+    }
+    if (p > dlen_total) return 3;
+  }
+
+  // 4) collect complete records; the tail becomes carry-out
+  std::vector<Rec> recs;
+  int64_t tail_start = p;
+  while (p + 4 <= dlen_total) {
+    int32_t bs;
+    std::memcpy(&bs, data.data() + p, 4);
+    if (bs < 32 || p + 4 + bs > dlen_total) break;
+    Rec r;
+    r.p = data.data() + p + 4;
+    r.len = bs;
+    r.parse_head();
+    recs.push_back(r);
+    p += 4 + bs;
+    tail_start = p;
+  }
+  out->carry_len = dlen_total - tail_start;
+  if (out->carry_len) {
+    out->carry = (uint8_t*)std::malloc(out->carry_len);
+    std::memcpy(out->carry, data.data() + tail_start, out->carry_len);
+  }
+
+  // 5) rewrite, records sharded contiguously across threads so the
+  // concatenated parts keep input order
+  int fnt = (nt > 1 && recs.size() > 1) ? nt : 1;
+  std::vector<std::string> parts(fnt);
+  std::vector<std::array<int64_t, 16>> errs(fnt);
+  std::vector<int32_t> wrote(fnt, 0);
+  for (auto& a : errs) a.fill(0);
+  auto rw_worker = [&](int t) {
+    size_t lo = recs.size() * t / fnt, hi = recs.size() * (t + 1) / fnt;
+    for (size_t i = lo; i < hi; ++i) {
+      try {
+        adjust_one_record(recs[i], opts, parts[t]);
+        ++wrote[t];
+      } catch (const MkError& e) {
+        if (e.kind >= 0 && e.kind < 16) ++errs[t][e.kind];
+      }
+    }
+  };
+  if (fnt > 1) {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < fnt; ++t) pool.emplace_back(rw_worker, t);
+    for (auto& th : pool) th.join();
+  } else {
+    rw_worker(0);
+  }
+  size_t total = 0;
+  for (auto& s : parts) total += s.size();
+  if (compress_level < 0) {
+    out->blob = (uint8_t*)std::malloc(total ? total : 1);
+    uint8_t* w = out->blob;
+    for (auto& s : parts) {
+      std::memcpy(w, s.data(), s.size());
+      w += s.size();
+    }
+    out->blob_len = (int64_t)total;
+  } else {
+    // 6) BGZF-compress the rewritten record stream in parallel 0xFF00
+    // chunks (the htslib/gzp multi-threaded writer analog); the caller
+    // appends the blocks verbatim after its header block
+    std::vector<uint8_t> flat(total);
+    {
+      uint8_t* w = flat.data();
+      for (auto& s : parts) {
+        std::memcpy(w, s.data(), s.size());
+        w += s.size();
+      }
+    }
+    size_t nchunk = (total + 0xFEFF) / 0xFF00;
+    std::vector<size_t> bsizes(nchunk, 0);
+    std::vector<uint8_t> cbuf(nchunk * 0x10000);
+    std::atomic<size_t> cnext{0};
+    std::atomic<bool> c_ok{true};
+    auto c_worker = [&]() {
+      for (;;) {
+        size_t i = cnext.fetch_add(1);
+        if (i >= nchunk) return;
+        size_t lo = i * 0xFF00;
+        size_t len = std::min<size_t>(0xFF00, total - lo);
+        size_t bs = bgzf_compress_block(flat.data() + lo, len,
+                                        cbuf.data() + i * 0x10000,
+                                        compress_level);
+        if (bs == 0) c_ok.store(false);
+        bsizes[i] = bs;
+      }
+    };
+    if (nt > 1 && nchunk > 1) {
+      std::vector<std::thread> pool;
+      for (int t = 0; t < nt; ++t) pool.emplace_back(c_worker);
+      for (auto& th : pool) th.join();
+    } else {
+      c_worker();
+    }
+    if (!c_ok.load()) return 4;
+    size_t ctotal = 0;
+    for (size_t b : bsizes) ctotal += b;
+    out->blob = (uint8_t*)std::malloc(ctotal ? ctotal : 1);
+    uint8_t* w = out->blob;
+    for (size_t i = 0; i < nchunk; ++i) {
+      std::memcpy(w, cbuf.data() + i * 0x10000, bsizes[i]);
+      w += bsizes[i];
+    }
+    out->blob_len = (int64_t)ctotal;
+  }
+  for (int t = 0; t < fnt; ++t) {
+    out->n_written += wrote[t];
+    for (int k = 0; k < 16; ++k) out->err_counts[k] += errs[t][k];
+  }
+  return 0;
+}
+
+// Python writers' block-compression hook (io/bgzf.py): one BGZF block
+// from <= 0xFF00 bytes. Returns block size, 0 on failure. ctypes releases
+// the GIL during the call, so pooled Python threads scale.
+int64_t mk_compress_block(const uint8_t* src, int64_t n, uint8_t* dst,
+                          int32_t level) {
+  if (n < 0 || n > 0xFF00) return 0;
+  return (int64_t)bgzf_compress_block(src, (size_t)n, dst, level);
+}
+
+void mk_free_adjust(MkAdjustOut* out) {
+  std::free(out->blob);
+  std::free(out->carry);
+  out->blob = nullptr;
   out->carry = nullptr;
 }
 
