@@ -212,20 +212,25 @@ def main():
 
     time_pileup("warm", "auto")  # jit compile
     best_auto = min(time_pileup(f"a{i}", "auto") for i in range(reps))
-    # default config: threshold estimation (10042-read sample) + filtered
-    # pileup — the BASELINE.json "sample-probs thresholding then filtered
-    # pileup" shape, exercising the batched native confidence sampler
+    # DEFAULT config: threshold estimation (10042-read sample) + filtered
+    # pileup — the behavior users get with no flags (reference
+    # pileup/subcommand.rs:615-638), now the comparison that matters
     os.environ["MODKIT_TPU_OFFLOAD"] = "auto"
-    t0 = time.perf_counter()
-    res = run_pileup(
-        PileupConfig(
-            in_bam=bam, out=os.path.join(tmp, "est.bed"),
-            use_device=True, suppress_progress=True,
+
+    def time_default(tag):
+        t0 = time.perf_counter()
+        res = run_pileup(
+            PileupConfig(
+                in_bam=bam, out=os.path.join(tmp, f"est{tag}.bed"),
+                use_device=True, suppress_progress=True,
+            )
         )
-    )
-    est_wall = time.perf_counter() - t0
-    assert res["rows"] > 0
-    _note(f"pileup default (estimate+filter): {est_wall:.1f}s")
+        dt = time.perf_counter() - t0
+        assert res["rows"] > 0
+        _note(f"pileup default {tag} (estimate+filter): {dt:.1f}s")
+        return dt
+
+    est_wall = min(time_default(i) for i in range(reps))
     # forced-device: the chip does the threshold+count stage regardless of
     # the link, so the device path is measured every round
     time_pileup("dwarm", "always")
@@ -235,11 +240,46 @@ def main():
     os.environ["MODKIT_TPU_OFFLOAD"] = "auto"
     best_cpu = min(time_cpu(i) for i in range(reps))
 
+    # CPU baseline in the default estimate+filter mode (same estimation
+    # pipeline -> identical thresholds -> byte-comparable outputs)
+    def time_cpu_default(i):
+        t0 = time.perf_counter()
+        res = run_pileup_cpu(
+            bam, os.path.join(tmp, f"cd{i}.bed"), no_filtering=False
+        )
+        dt = time.perf_counter() - t0
+        assert res["rows"] > 0
+        _note(f"cpu baseline default {i}: {dt:.1f}s")
+        return dt
+
+    best_cpu_default = min(time_cpu_default(i) for i in range(reps))
+
+    # native adjust-mods/call-mods rewriter throughput (modBAM -> modBAM)
+    from modkit_tpu.caller import ThresholdCaller
+    from modkit_tpu.engines.adjust import adjust_modbam
+
+    def time_adjust(i):
+        t0 = time.perf_counter()
+        st = adjust_modbam(
+            bam, os.path.join(tmp, f"adj{i}.bam"), (),
+            ThresholdCaller({"C": 0.7, "A": 0.7}, {}, 0.7), None,
+            filter_only=False,
+        )
+        dt = time.perf_counter() - t0
+        assert st["records_written"] > 0
+        _note(f"call-mods {i}: {dt:.1f}s")
+        return dt
+
+    best_adjust = min(time_adjust(i) for i in range(2))
+
     auto_out = open(os.path.join(tmp, "a0.bed")).read()
     forced_out = open(os.path.join(tmp, "d0.bed")).read()
     cpu_out = open(os.path.join(tmp, "c0.bed")).read()
     assert auto_out == cpu_out, "auto engine != CPU baseline output"
     assert forced_out == cpu_out, "forced-device engine != CPU baseline"
+    est_out = open(os.path.join(tmp, "est0.bed")).read()
+    cpud_out = open(os.path.join(tmp, "cd0.bed")).read()
+    assert est_out == cpud_out, "default engine != CPU baseline default"
 
     roofline = _kernel_rooflines(link_bw)
 
@@ -265,6 +305,12 @@ def main():
                     "default_filtered_reads_per_s": round(
                         n_reads / est_wall, 1
                     ),
+                    "vs_baseline_default": round(
+                        best_cpu_default / est_wall, 3
+                    ),
+                    "cpu_default_wall_s": round(best_cpu_default, 4),
+                    "adjust_wall_s": round(best_adjust, 4),
+                    "adjust_reads_per_s": round(n_reads / best_adjust, 1),
                     "device_forced_wall_s": round(best_forced, 4),
                     "device_forced_reads_per_s": round(
                         n_reads / best_forced, 1

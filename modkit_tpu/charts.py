@@ -19,17 +19,26 @@ W, H = 800, 800
 ML, MR, MT, MB = 70, 30, 60, 120  # margins
 
 
-def series_color(label: str, i: int) -> str:
-    """base:state label -> reference color, else a stable fallback."""
+def series_color(label: str, i: int, overrides: dict | None = None) -> str:
+    """base:state label -> reference color, else a stable fallback.
+
+    ``overrides`` = {"dna": {base: color}, "mod": {code: color}} from
+    --dna-color/--mod-color (commands.rs:619-625 primary_base_colors /
+    mod_base_colors)."""
+    dna = dict(DNA_BASE_COLORS)
+    mod = dict(MOD_COLORS)
+    if overrides:
+        dna.update(overrides.get("dna") or {})
+        mod.update(overrides.get("mod") or {})
     if ":" in label:
         base, state = label.split(":", 1)
         if state == "-":
-            if base in DNA_BASE_COLORS:
-                return DNA_BASE_COLORS[base]
-        elif state in MOD_COLORS:
-            return MOD_COLORS[state]
-    elif label in MOD_COLORS:
-        return MOD_COLORS[label]
+            if base in dna:
+                return dna[base]
+        elif state in mod:
+            return mod[state]
+    elif label in mod:
+        return mod[label]
     return _FALLBACK[i % len(_FALLBACK)]
 
 
@@ -64,6 +73,7 @@ def bar_chart_html(
     categories: list[str],
     series: list[tuple[str, list]],
     y_name: str,
+    color_overrides: dict | None = None,
 ) -> str:
     """Grouped bar chart: one group per category, one bar per series
     (SampledProbs counts.html / proportion.html, writers.rs:966-985)."""
@@ -84,7 +94,10 @@ def bar_chart_html(
     plot_w, plot_h = W - ML - MR, H - MT - MB
     group_w = plot_w / n_cat
     bar_w = max(group_w * 0.8 / n_ser, 0.5)
-    colors = [series_color(n, i) for i, (n, _) in enumerate(series)]
+    colors = [
+        series_color(n, i, color_overrides)
+        for i, (n, _) in enumerate(series)
+    ]
     el = [
         f'<text x="{W // 2}" y="24" text-anchor="middle" font-size="16" '
         f'font-family="sans-serif">{_html.escape(title)}</text>'
@@ -170,7 +183,10 @@ def line_chart_html(
     def sy(y):
         return MT + plot_h - (y - y0) / (y1 - y0) * plot_h
 
-    colors = [series_color(n, i) for i, (n, _) in enumerate(series)]
+    colors = [
+        series_color(n, i, color_overrides)
+        for i, (n, _) in enumerate(series)
+    ]
     el = [
         f'<text x="{W // 2}" y="24" text-anchor="middle" font-size="16" '
         f'font-family="sans-serif">{_html.escape(title)}</text>'

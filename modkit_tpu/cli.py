@@ -92,6 +92,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--chunk-size", type=int, default=None)
     p.add_argument("--max-depth", type=int, default=8000)
     p.add_argument("--region", default=None)
+    p.add_argument("--sample-region", default=None,
+                   help="region to sample reads from for threshold estimation")
     p.add_argument("--include-bed", "--include-positions", dest="include_bed", default=None)
     p.add_argument("--include-unmapped", action="store_true")
     p.add_argument("--ignore", default=None)
@@ -142,6 +144,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--prefix", default=None)
     p.add_argument("--force", action="store_true")
     p.add_argument("--hist", "--histogram", dest="histogram", action="store_true")
+    p.add_argument("--dna-color", nargs=2, action="append", default=None,
+                   help="BASE #RRGGBB histogram color override")
+    p.add_argument("--mod-color", nargs=2, action="append", default=None,
+                   help="CODE #RRGGBB histogram color override")
     p.add_argument("--ignore", default=None)
     p.add_argument("--edge-filter", default=None)
     p.add_argument("--invert-edge-filter", action="store_true")
@@ -167,6 +173,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--discard-motifs", action="store_true")
     p.add_argument("--ff", "--fail-fast", dest="fail_fast", action="store_true")
     p.add_argument("--filter-probs", action="store_true")
+    p.add_argument("--sample-region", default=None)
     p.add_argument("--output-sam", action="store_true")
     _add_common_sampling(p)
     _add_threshold_args(p)
@@ -188,6 +195,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-p", "--filter-percentile", type=float, default=0.1)
     p.add_argument("--filter-threshold", action="append", default=None)
     p.add_argument("--no-filtering", action="store_true")
+    p.add_argument("--sample-region", default=None)
     _add_common_sampling(p)
     _add_logging(p)
     p.set_defaults(func=cmd_call_mods)
@@ -228,7 +236,11 @@ def build_parser() -> argparse.ArgumentParser:
         q.add_argument("--cpg", action="store_true")
         q.add_argument("--bgzf", action="store_true",
                        help="compress output with parallel bgzf")
-        q.add_argument("--queue-size", type=int, default=1000)
+        q.add_argument("--out-threads", type=int, default=4,
+                       help="threads for parallel bgzf writing")
+        q.add_argument("-q", "--queue-size", type=int, default=1000)
+        q.add_argument("--ignore-implicit", action="store_true",
+                       help="omit implicit (inferred) canonical calls")
         _add_common_sampling(q)
         _add_logging(q)
         if mode == "calls":
@@ -456,6 +468,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--motif", nargs=2, default=None)
     p.add_argument("-r", "--ref", "--reference", required=True)
     p.add_argument("--region", default=None)
+    p.add_argument("--sample-region", default=None)
     p.add_argument("--ignore", default=None)
     p.add_argument("--combine-mods", action="store_true")
     p.add_argument("--edge-filter", default=None)
@@ -615,6 +628,7 @@ def cmd_pileup(args) -> int:
         seed=args.seed,
         include_unmapped=args.include_unmapped,
         region=args.region,
+        sample_region=args.sample_region,
         combine_mods=args.combine_mods,
         collapse=collapse,
         edge_filter=edge_filter,
@@ -700,6 +714,7 @@ def cmd_adjust_mods(args) -> int:
                 sample_frac=args.sampling_frac, seed=args.seed,
                 filter_percentile=args.filter_percentile,
                 collapse=methods, edge_filter=edge_filter,
+                region=args.sample_region,
             )
             caller = ThresholdCaller(per_base, {}, 0.0)
     stats = adjust_modbam(
@@ -739,6 +754,7 @@ def cmd_call_mods(args) -> int:
             sample_frac=args.sampling_frac, seed=args.seed,
             include_unmapped=args.include_unmapped,
             filter_percentile=args.filter_percentile,
+            region=args.sample_region,
         )
         caller = ThresholdCaller(per_base, per_mod, 0.0)
     edge_filter = (
@@ -834,6 +850,8 @@ def cmd_extract(args) -> int:
         allow_non_primary=args.allow_non_primary,
         include_header=not args.no_headers,
         bgzf=args.bgzf, threads=args.threads,
+        ignore_implicit=args.ignore_implicit,
+        out_threads=args.out_threads,
         include_bed=args.include_bed, exclude_bed=args.exclude_bed,
         motifs=[x for pair in (args.motif or []) for x in pair],
         cpg=args.cpg,
@@ -959,11 +977,23 @@ def cmd_sample_probs(args) -> int:
             with open(paths[1], "w") as fh:
                 fh.write(render_probabilities_tsv(hists))
             cats, counts_s, prop_s = histogram_chart_data(hists)
+            # keys are the rendered label parts (chart labels format the
+            # code as text, so ChEBI codes match by their digit string)
+            overrides = {
+                "dna": dict(args.dna_color or []),
+                "mod": {c: col for c, col in (args.mod_color or [])},
+            }
             with open(paths[2], "w") as fh:
-                fh.write(bar_chart_html("Counts", cats, counts_s, "counts"))
+                fh.write(
+                    bar_chart_html(
+                        "Counts", cats, counts_s, "counts", overrides
+                    )
+                )
             with open(paths[3], "w") as fh:
                 fh.write(
-                    bar_chart_html("Proportion", cats, prop_s, "proportion")
+                    bar_chart_html(
+                        "Proportion", cats, prop_s, "proportion", overrides
+                    )
                 )
     else:
         if args.histogram:

@@ -66,9 +66,19 @@ def run_pileup_cpu(
         threads = os.cpu_count() or 4
     if no_filtering:
         caller = ThresholdCaller.passthrough()
-    else:
-        ft = dict(filter_threshold or {})
+    elif filter_threshold is not None:
+        ft = dict(filter_threshold)
         caller = ThresholdCaller(ft, {}, ft.pop("default", 0.0))
+    else:
+        # default reference behavior: estimate the pass threshold from a
+        # 10042-read sample, then filter (pileup/subcommand.rs:615-638);
+        # the estimation pipeline is all-CPU (native sampling + host
+        # percentile), so the baseline pays the same phase the reference
+        # binary would
+        from .thresholds import estimate_thresholds
+
+        per_base = estimate_thresholds(BamReader(in_bam))
+        caller = ThresholdCaller(per_base, {}, 0.0)
 
     main_reader = BamReader(in_bam)
     header = main_reader.header

@@ -286,6 +286,8 @@ def run_extract(
     motifs: list | None = None,
     cpg: bool = False,
     queue_size: int = 1000,
+    ignore_implicit: bool = False,
+    out_threads: int = 4,
 ) -> dict:
     from ..io.cram import open_alignment_reader
 
@@ -309,7 +311,9 @@ def run_extract(
             # parallel-bgzf-compressed TSV (extract/subcommand.rs:270 --bgzf)
             from ..io.bgzf import BgzfTextWriter
 
-            fh = BgzfTextWriter(out, threads=threads)
+            # --out-threads: parallel bgzf writer threads
+            # (extract/subcommand.rs:98,274 out_threads)
+            fh = BgzfTextWriter(out, threads=out_threads)
             close = True
         else:
             fh = open(out, "w")
@@ -438,6 +442,7 @@ def run_extract(
                     else None
                 ),
                 pass_only=pass_only,
+                ignore_implicit=ignore_implicit,
                 n_threads=max(1, min(threads, _os.cpu_count() or 1)),
             ):
                 _write_bytes(text)
@@ -471,6 +476,11 @@ def run_extract(
             )
         except ModKitError as e:
             return e
+        if ignore_implicit:
+            # --ignore-implicit: drop inferred-canonical positions before
+            # row/union derivation (read_ids_to_base_mod_probs.rs:765
+            # remove_inferred)
+            profile.entries = [e for e in profile.entries if not e[5]]
         if mode == "full":
             return full_rows(profile, ref_seqs, keep=make_keep(rec))
         return calls_rows(

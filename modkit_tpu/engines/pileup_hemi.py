@@ -164,7 +164,7 @@ def run_pileup_hemi(args) -> int:
                 seed=args.seed,
                 include_unmapped=False,
                 filter_percentile=args.filter_percentile,
-                region=args.region,
+                region=getattr(args, "sample_region", None) or args.region,
                 collapse=collapse,
                 edge_filter=edge_filter,
             )

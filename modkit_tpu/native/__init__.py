@@ -237,6 +237,7 @@ def load():
                 ctypes.c_int32,                    # edge args
                 ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
                 ctypes.c_int32, ctypes.c_int32,    # calls_mode, pass_only
+                ctypes.c_int32,                    # ignore_implicit
                 ctypes.POINTER(ctypes.c_int64),    # pm_codes
                 ctypes.POINTER(ctypes.c_double),   # pm_vals
                 ctypes.c_int32,                    # n_pm
@@ -331,6 +332,28 @@ def load():
             lib.mk_compress_block.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+            ]
+            lib.mk_sample_region.restype = ctypes.c_int32
+            lib.mk_sample_region.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.POINTER(ctypes.c_int64),    # vbeg
+                ctypes.POINTER(ctypes.c_int64),    # vend
+                ctypes.c_int32,                    # n_chunks
+                ctypes.c_int32,                    # tid
+                ctypes.c_int64, ctypes.c_int64,    # start, end
+                ctypes.c_int64,                    # max_take
+                ctypes.c_int32,                    # only_mapped
+                ctypes.c_int32, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int32,                    # edge args
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,  # collapse
+                ctypes.c_char_p, ctypes.c_int64,   # seen blob
+                ctypes.c_int32,                    # n_threads
+                ctypes.POINTER(ctypes.c_void_p),   # out_conf
+                ctypes.POINTER(ctypes.c_void_p),   # out_tb
+                ctypes.POINTER(ctypes.c_int64),    # out_n
+                ctypes.POINTER(ctypes.c_void_p),   # out_names
+                ctypes.POINTER(ctypes.c_int64),    # out_names_len
+                ctypes.POINTER(ctypes.c_int64),    # out_consumed
             ]
             _lib = lib
         except Exception:
@@ -845,6 +868,7 @@ def extract_full_stream(
     collapse=None,
     caller=None,
     pass_only: bool = False,
+    ignore_implicit: bool = False,
     n_threads: int | None = None,
     span_comp_bytes: int = 8 << 20,
 ):
@@ -931,6 +955,7 @@ def extract_full_stream(
             1 if (has_edge and edge_filter.inverted) else 0,
             c_blob, len(blob),
             1 if calls_mode else 0, 1 if pass_only else 0,
+            1 if ignore_implicit else 0,
             pm_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             pm_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             n_pm,
@@ -1202,3 +1227,88 @@ def compress_block(data: bytes, level: int = 6) -> bytes | None:
     if n <= 0:
         return None
     return bytes(bytearray(dst)[:n])
+
+
+def sample_region(
+    raw: bytes,
+    chunks,
+    tid: int,
+    start: int,
+    end: int,
+    max_take: int | None,
+    only_mapped: bool,
+    seen_blob: bytes,
+    *,
+    collapse=None,
+    edge_filter=None,
+    n_threads: int | None = None,
+):
+    """Count-quota sampling of one merged region entirely in C++
+    (thresholds.py sample_reads mapped phase): BGZF inflate + fetch-walk +
+    quota/dedup + pooled argmax confidences in one call.
+
+    Returns (conf f32[n], tb i8[n], consumed, new_names_blob) or None when
+    the native library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n_chunks = len(chunks)
+    vbeg = np.asarray([c[0] for c in chunks] or [0], dtype=np.int64)
+    vend = np.asarray([c[1] for c in chunks] or [0], dtype=np.int64)
+    blob = encode_collapse(collapse)
+    has_edge = edge_filter is not None
+    nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
+    out_conf = ctypes.c_void_p()
+    out_tb = ctypes.c_void_p()
+    out_n = ctypes.c_int64()
+    out_names = ctypes.c_void_p()
+    out_names_len = ctypes.c_int64()
+    out_consumed = ctypes.c_int64()
+    rc = lib.mk_sample_region(
+        raw, len(raw),
+        vbeg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        vend.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_chunks, tid, start, end,
+        -1 if max_take is None else max_take,
+        1 if only_mapped else 0,
+        1 if has_edge else 0,
+        edge_filter.start_trim if has_edge else 0,
+        edge_filter.end_trim if has_edge else 0,
+        1 if (has_edge and edge_filter.inverted) else 0,
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(blob),
+        seen_blob, len(seen_blob), nt,
+        ctypes.byref(out_conf), ctypes.byref(out_tb), ctypes.byref(out_n),
+        ctypes.byref(out_names), ctypes.byref(out_names_len),
+        ctypes.byref(out_consumed),
+    )
+    if rc != 0:
+        raise RuntimeError(f"mk_sample_region failed rc={rc}")
+    try:
+        total = int(out_n.value)
+        conf = (
+            np.ctypeslib.as_array(
+                ctypes.cast(out_conf, ctypes.POINTER(ctypes.c_float)),
+                shape=(total,),
+            ).copy()
+            if total
+            else np.empty(0, dtype=np.float32)
+        )
+        tb = (
+            np.ctypeslib.as_array(
+                ctypes.cast(out_tb, ctypes.POINTER(ctypes.c_int8)),
+                shape=(total,),
+            ).copy()
+            if total
+            else np.empty(0, dtype=np.int8)
+        )
+        names = (
+            ctypes.string_at(out_names, out_names_len.value)
+            if out_names_len.value
+            else b""
+        )
+    finally:
+        lib.mk_free_buf(out_conf)
+        lib.mk_free_buf(out_tb)
+        lib.mk_free_buf(out_names)
+    return conf, tb, int(out_consumed.value), names

@@ -31,13 +31,17 @@ to the higher code-column index (candidate insertion order approximation).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-# padding buckets to bound jit recompiles
-_EVENT_BUCKETS = (1 << 12, 1 << 14, 1 << 16, 1 << 18, 1 << 20, 1 << 22)
+# padding buckets to bound jit recompiles; the floor is 64k events — a
+# compile over a tunneled chip costs 20-100 s while padding a tiny event
+# set to 64k costs <1 ms of transfer, so fewer shapes wins (r3 weak #2:
+# 780 s forced-device warm-up from 6x6 shape buckets)
+_EVENT_BUCKETS = (1 << 16, 1 << 18, 1 << 20, 1 << 22)
 
 
 def round_up_events(n: int) -> int:
@@ -348,6 +352,71 @@ def run_pileup_counts(
         num_codes=m_pad,
     )
     return np.asarray(out)[:num_positions]
+
+
+_PREWARMED: set = set()
+_PREWARM_LOCK = None
+
+
+def prewarm_state_kernels(kind: str, m_pad: int) -> None:
+    """Concurrently background-compile the OTHER event-bucket shapes of a
+    state-kernel flavor once the first device dispatch reveals (kind,
+    m_pad). Without this, forced-device warm-up serializes one 20-100 s
+    tunneled-chip compile per bucket against the tile stream (BENCH_r03
+    dwarm 779.7 s); with it, remaining shapes compile on daemon threads
+    (and land in the persistent compilation cache) while tiles flow
+    through the already-compiled bucket. kind: 'pallas' | 'quals' | 'f32'.
+    """
+    global _PREWARM_LOCK
+    import threading
+
+    if _PREWARM_LOCK is None:
+        _PREWARM_LOCK = threading.Lock()
+    key = (kind, m_pad)
+    with _PREWARM_LOCK:
+        if key in _PREWARMED:
+            return
+        _PREWARMED.add(key)
+    if os.environ.get("MODKIT_TPU_NO_PREWARM") == "1":
+        return
+    # only worth it where compiles are slow (tunneled/real chips); on the
+    # CPU backend compiles are sub-second and daemon threads still alive
+    # at interpreter shutdown abort the process (pthread cancellation
+    # during C++ unwinding)
+    if jax.default_backend() == "cpu":
+        return
+
+    def compile_bucket(nb: int) -> None:
+        try:
+            thr_mod = jnp.zeros((m_pad, 4), jnp.float32)
+            thr_can = jnp.zeros(4, jnp.float32)
+            if kind == "pallas":
+                from .pallas_state import threshold_state_pallas
+
+                z = jnp.zeros(nb, jnp.uint8)
+                threshold_state_pallas(
+                    jnp.zeros((m_pad, nb), jnp.uint8), z, z, z,
+                    thr_mod, thr_can,
+                ).block_until_ready()
+            elif kind == "quals":
+                z = jnp.zeros(nb, jnp.uint8)
+                threshold_state_from_quals(
+                    jnp.zeros((nb, m_pad), jnp.uint8), z, z, z,
+                    thr_mod, thr_can,
+                ).block_until_ready()
+            else:
+                threshold_state_f32(
+                    jnp.full((nb, m_pad), -1.0, jnp.float32),
+                    jnp.zeros(nb, jnp.uint8), thr_mod, thr_can,
+                ).block_until_ready()
+        except Exception:
+            pass
+
+    for nb in _EVENT_BUCKETS:
+        t = threading.Thread(
+            target=compile_bucket, args=(nb,), daemon=True
+        )
+        t.start()
 
 
 def counts_layout(num_codes: int) -> dict:

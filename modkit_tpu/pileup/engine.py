@@ -511,7 +511,9 @@ class TileProcessor:
                 # 1 B/event down); keep it host-side behind slow links
                 offload = offload_events_to_device(n, m_pad + 3)
             if offload:
-                from ..ops.pileup_counts import device_putter
+                from ..ops.pileup_counts import (
+                    device_putter, prewarm_state_kernels,
+                )
 
                 put = device_putter(self._next_device())
                 nb = round_up_events(n)
@@ -521,6 +523,7 @@ class TileProcessor:
                     if q is not None:
                         from ..ops.pallas_state import threshold_state_pallas
 
+                        prewarm_state_kernels("pallas", m_pad)
                         quals_t, present, zero, base_idx = q
                         states = threshold_state_pallas(
                             put(quals_t), put(present),
@@ -528,6 +531,7 @@ class TileProcessor:
                             put(thr_mod_p), put(thr_can),
                         )
                 elif (q := res.export_quals(nb, m_pad)) is not None:
+                    prewarm_state_kernels("quals", m_pad)
                     quals, present, zero, base_idx = q
                     states = threshold_state_from_quals(
                         put(quals), put(present),
@@ -535,6 +539,7 @@ class TileProcessor:
                         put(thr_mod_p), put(thr_can),
                     )
                 if q is None:
+                    prewarm_state_kernels("f32", m_pad)
                     _, _, base_idx, probs = res.export_events(nb, m_pad)
                     states = threshold_state_f32(
                         put(probs),

@@ -39,6 +39,9 @@ class PileupConfig:
     seed: int | None = None
     include_unmapped: bool = False
     region: str | None = None
+    # sampling-only region for threshold estimation; falls back to
+    # ``region`` (pileup/subcommand.rs:193 sample_region)
+    sample_region: str | None = None
     combine_mods: bool = False
     collapse: list = field(default_factory=list)
     edge_filter: object = None
@@ -536,7 +539,7 @@ def resolve_caller(
         seed=cfg.seed,
         include_unmapped=cfg.include_unmapped,
         filter_percentile=cfg.filter_percentile,
-        region=cfg.region,
+        region=cfg.sample_region or cfg.region,
         collapse=cfg.collapse,
         edge_filter=cfg.edge_filter,
         force_allow=cfg.force_allow,

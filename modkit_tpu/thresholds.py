@@ -404,7 +404,32 @@ def sample_reads(
                     if pend_x >= 50 or pos >= end:
                         regions.append((pend_s, pos, pend_x))
                         pend_s, pend_x = None, 0
+            # fully-native region sampling: BGZF inflate + fetch walk +
+            # quota/dedup + confidence pooling in one C++ call per merged
+            # region (native mk_sample_region) — the Python loop below is
+            # the oracle (tests/test_native_sampling.py)
+            native_regions = (
+                conf_mode
+                and sample_frac is None
+                and hasattr(reader, "bam_raw")
+                and hasattr(reader, "fetch_chunk_voffsets")
+            )
             for s, e, x in regions:
+                if native_regions:
+                    res = _native.sample_region(
+                        reader.bam_raw,
+                        reader.fetch_chunk_voffsets(tid, s, e),
+                        tid, s, e, x, only_mapped,
+                        "\n".join(seen).encode() + b"\n" if seen else b"",
+                        collapse=collapse, edge_filter=edge_filter,
+                    )
+                    if res is not None:
+                        conf, tb, _consumed, new_names = res
+                        conf_parts.append((tb, conf))
+                        for nm in new_names.decode().split("\n"):
+                            if nm:
+                                seen.add(nm)
+                        continue
                 taken = 0
                 for rec in reader.fetch(tid, s, e):
                     if x is not None and taken >= x:

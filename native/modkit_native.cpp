@@ -2372,6 +2372,9 @@ struct ExtractOpts {
   // thresholds carried as f64 so comparisons promote exactly like the
   // Python (np.float32 cmp float) path
   bool calls_mode = false, pass_only = false;
+  // --ignore-implicit: drop inferred-canonical positions before row/union
+  // derivation (read_ids_to_base_mod_probs.rs:765 remove_inferred)
+  bool remove_inferred = false;
   std::vector<std::pair<Code, double>> per_mod;
   double fallback_mod[4] = {0, 0, 0, 0};  // chain after per_mod[code]
   double can_thr[4] = {0, 0, 0, 0};
@@ -2490,8 +2493,10 @@ static void extract_read_rows(
   };
   std::vector<Ent> ents;
   for (uint32_t gi = 0; gi < gs.size(); ++gi)
-    for (uint32_t pi = 0; pi < gs[gi].pos.size(); ++pi)
+    for (uint32_t pi = 0; pi < gs[gi].pos.size(); ++pi) {
+      if (opts.remove_inferred && gs[gi].inferred[pi]) continue;
       ents.push_back({gs[gi].pos[pi], gi, pi});
+    }
   bool rev = r.is_reverse();
   std::stable_sort(ents.begin(), ents.end(),
                    [rev](const Ent& a, const Ent& b) {
@@ -2794,7 +2799,8 @@ int32_t mk_extract_span(
     int32_t mapped_only, int32_t allow_non_primary, int32_t has_edge,
     int64_t edge_start, int64_t edge_end, int32_t edge_inverted,
     const int64_t* collapse_blob, int32_t collapse_len,
-    int32_t calls_mode, int32_t pass_only, const int64_t* pm_codes,
+    int32_t calls_mode, int32_t pass_only, int32_t ignore_implicit,
+    const int64_t* pm_codes,
     const double* pm_vals, int32_t n_pm, const double* fallback_mod4,
     const double* can_thr4,
     int32_t n_threads, MkExtractOut* out) {
@@ -2805,6 +2811,7 @@ int32_t mk_extract_span(
   opts.allow_non_primary = allow_non_primary != 0;
   opts.calls_mode = calls_mode != 0;
   opts.pass_only = pass_only != 0;
+  opts.remove_inferred = ignore_implicit != 0;
   if (calls_mode) {
     for (int32_t i = 0; i < n_pm; ++i)
       opts.per_mod.emplace_back(pm_codes[i], pm_vals[i]);
@@ -3139,6 +3146,335 @@ int32_t mk_sample_confidences(
     wr += recs_of[t].size();
   }
   *out_n = total;
+  return 0;
+}
+
+// ------------------------------------------- native region sampling
+// The count-quota mapped sampling phase of threshold estimation
+// (thresholds.py sample_reads: reader.fetch + batched flush_pending) in
+// one native call per merged region: BGZF chunk inflate (parallel, early
+// stop past the region end), record walk with the exact fetch semantics,
+// quota/dedup accounting in record order, and pooled argmax confidences
+// (reads_sampler/mod.rs:30 get_sampled_read_ids_to_base_mod_probs).
+//
+// seen_blob: '\n'-joined read names already consumed in prior regions;
+// out_names returns the names newly consumed here (same framing).
+int32_t mk_sample_region(
+    const uint8_t* raw, int64_t raw_len, const int64_t* vbeg,
+    const int64_t* vend, int32_t n_chunks, int32_t tid, int64_t start,
+    int64_t end, int64_t max_take, int32_t only_mapped, int32_t has_edge,
+    int64_t edge_start, int64_t edge_end, int32_t edge_inverted,
+    const int64_t* collapse_blob, int32_t collapse_len,
+    const char* seen_blob, int64_t seen_len, int32_t n_threads,
+    float** out_conf, int8_t** out_tb, int64_t* out_n, char** out_names,
+    int64_t* out_names_len, int64_t* out_consumed) {
+  *out_conf = nullptr;
+  *out_tb = nullptr;
+  *out_n = 0;
+  *out_names = nullptr;
+  *out_names_len = 0;
+  *out_consumed = 0;
+  int nt = n_threads > 0 ? n_threads : 1;
+
+  // 1) inflate the region's chunk spans (the mk_decode_tile_bgzf walk)
+  std::vector<std::vector<uint8_t>> datas((size_t)n_chunks);
+  std::vector<std::pair<int64_t, int64_t>> spans((size_t)n_chunks, {0, 0});
+  bool stop = false;
+  for (int32_t c = 0; c < n_chunks && !stop; ++c) {
+    int64_t c0 = vbeg[c] >> 16, u0 = vbeg[c] & 0xFFFF;
+    int64_t c1 = vend[c] >> 16, u1 = vend[c] & 0xFFFF;
+    std::vector<uint8_t>& data = datas[c];
+    int64_t off = c0;
+    int64_t scan = u0;
+    int64_t last_block_out = -1;
+    bool hit_span_end = false;
+    while (off < raw_len && !hit_span_end && !stop) {
+      struct B {
+        int64_t doff, dlen, out_off;
+        uint32_t isize;
+      };
+      std::vector<B> batch;
+      int64_t base = (int64_t)data.size();
+      int64_t total = 0;
+      while (off < raw_len && (int)batch.size() < nt * 8) {
+        if (off > c1 || (off == c1 && u1 == 0)) {
+          hit_span_end = true;
+          break;
+        }
+        int64_t bs, doff, dlen;
+        if (!bgzf_block_info(raw, raw_len, off, &bs, &doff, &dlen)) {
+          hit_span_end = true;
+          break;
+        }
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bs - 4, 4);
+        if (off == c1) last_block_out = base + total;
+        batch.push_back({doff, dlen, base + total, isize});
+        total += isize;
+        if (off == c1) {
+          off += bs;
+          hit_span_end = true;
+          break;
+        }
+        off += bs;
+      }
+      if (batch.empty()) break;
+      data.resize((size_t)(base + total));
+      auto do_one = [&](const B& b) {
+        if (b.isize)
+          inflate_block_raw(raw + b.doff, b.dlen, data.data() + b.out_off,
+                            b.isize);
+      };
+      if (nt > 1 && batch.size() > 1) {
+        std::atomic<size_t> next{0};
+        auto worker = [&]() {
+          for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= batch.size()) return;
+            do_one(batch[i]);
+          }
+        };
+        std::vector<std::thread> pool;
+        int tc = std::min<int>(nt, (int)batch.size());
+        for (int t = 0; t < tc; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+      } else {
+        for (auto& b : batch) do_one(b);
+      }
+      int64_t avail = (int64_t)data.size();
+      while (scan + 4 <= avail) {
+        int32_t bs32;
+        std::memcpy(&bs32, data.data() + scan, 4);
+        if (bs32 < 32 || scan + 4 + bs32 > avail) break;
+        int32_t r_ref, r_pos;
+        std::memcpy(&r_ref, data.data() + scan + 4, 4);
+        std::memcpy(&r_pos, data.data() + scan + 8, 4);
+        scan += 4 + bs32;
+        if (r_ref > tid || (r_ref == tid && (int64_t)r_pos >= end)) {
+          stop = true;
+          break;
+        }
+      }
+    }
+    int64_t hi = (int64_t)data.size();
+    if (u1 > 0 && last_block_out >= 0)
+      hi = std::min<int64_t>(hi, last_block_out + u1);
+    if (stop) hi = std::min<int64_t>(hi, scan);
+    int64_t lo = std::min<int64_t>(u0, hi);
+    spans[c] = {lo, hi};
+  }
+
+  // 2) candidate walk with fetch semantics (io/bam.py:447): stop at the
+  // first record past the region; keep primary mapped overlapping reads
+  std::vector<Rec> cands;
+  bool done = false;
+  for (int32_t c = 0; c < n_chunks && !done; ++c) {
+    const uint8_t* buf = datas[c].data();
+    int64_t p = spans[c].first, hi = spans[c].second;
+    while (p + 4 <= hi) {
+      int32_t bs;
+      std::memcpy(&bs, buf + p, 4);
+      if (bs < 32 || p + 4 + bs > hi) break;
+      Rec r;
+      r.p = buf + p + 4;
+      r.len = bs;
+      r.parse_head();
+      p += 4 + bs;
+      if (r.ref_id != tid || (int64_t)r.pos >= end) {
+        if (r.ref_id > tid || (r.ref_id == tid && (int64_t)r.pos >= end)) {
+          done = true;
+          break;
+        }
+        continue;
+      }
+      if (r.is_unmapped()) continue;
+      if (r.pos + r.reference_span() <= start) continue;
+      if (r.is_not_primary()) continue;  // use_record
+      cands.push_back(r);
+    }
+  }
+
+  // 3) quota/dedup walk in record order with batch-parallel decode
+  std::unordered_set<std::string> seen;
+  {
+    const char* s = seen_blob;
+    const char* e = seen_blob + seen_len;
+    while (s < e) {
+      const char* nl = s;
+      while (nl < e && *nl != '\n') ++nl;
+      if (nl > s) seen.emplace(s, nl - s);
+      s = nl + 1;
+    }
+  }
+  std::vector<float> conf_out;
+  std::vector<int8_t> tb_out;
+  std::string names_out;
+  int64_t consumed = 0;
+
+  std::vector<CollapseOp> collapse;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    collapse.push_back(std::move(op));
+  }
+
+  const size_t B = 256;  // the Python flush batch size
+  size_t next_cand = 0;
+  std::vector<uint8_t> status(B);
+  std::vector<std::vector<float>> bconf(B);
+  std::vector<std::vector<int8_t>> btb(B);
+  while (next_cand < cands.size() &&
+         (max_take < 0 || consumed < max_take)) {
+    size_t lo = next_cand;
+    size_t hi = std::min(cands.size(), lo + B);
+    next_cand = hi;
+    size_t nb = hi - lo;
+    auto one = [&](size_t bi) {
+      const Rec& r = cands[lo + bi];
+      status[bi] = 0;
+      bconf[bi].clear();
+      btb[bi].clear();
+      std::vector<uint8_t> fwd;
+      forward_seq(r, fwd);
+      ModInfo info;
+      try {
+        AuxTags aux = scan_aux(r);
+        if (aux.bad) throw MkError{E_INVALID_MM};
+        const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+        if (!mm.present) throw MkError{E_MM_MISSING};
+        if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+        const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+        if (!ml.present) throw MkError{E_ML_MISSING};
+        if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+        if (aux.mn_present) {
+          if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+          if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+        } else if (r.is_not_primary()) {
+          throw MkError{E_NON_PRIMARY_MN};
+        }
+        info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+      } catch (const MkError&) {
+        return;
+      }
+      std::vector<int32_t> qf, rp;
+      bool om = only_mapped != 0;
+      if (om) aligned_pairs_sorted(r, qf, rp);
+      bool any = false;
+      bool mutate = has_edge || !collapse.empty();
+      for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+        for (auto& g : info.groups) {
+          if (g.mod_strand != strand_pass) continue;
+          std::vector<int32_t> pos_c;
+          std::vector<float> probs_c;
+          std::vector<int32_t>& positions = mutate ? (pos_c = g.pos, pos_c) : g.pos;
+          std::vector<float>& probs = mutate ? (probs_c = g.probs, probs_c) : g.probs;
+          std::vector<Code> gcodes = g.codes;
+          size_t gm = gcodes.size();
+          if (has_edge) {
+            if ((int64_t)r.l_seq <= edge_start + edge_end) continue;
+            int64_t elo = edge_start, ehi = (int64_t)r.l_seq - edge_end;
+            std::vector<int32_t> np_;
+            std::vector<float> npr;
+            for (size_t i = 0; i < positions.size(); ++i) {
+              bool inside = positions[i] >= elo && positions[i] < ehi;
+              bool keepi = edge_inverted ? !inside : inside;
+              if (keepi) {
+                np_.push_back(positions[i]);
+                for (size_t j = 0; j < gm; ++j)
+                  npr.push_back(probs[i * gm + j]);
+              }
+            }
+            if (np_.empty()) continue;
+            positions = std::move(np_);
+            probs = std::move(npr);
+          }
+          for (const auto& op : collapse)
+            apply_collapse(gcodes, probs, gm, positions.size(), op);
+          size_t n_keep = positions.size();
+          std::vector<size_t> keep_idx;
+          if (om) {
+            keep_idx.reserve(positions.size());
+            size_t k = 0;
+            for (size_t i = 0; i < positions.size(); ++i) {
+              while (k < qf.size() && qf[k] < positions[i]) ++k;
+              if (k < qf.size() && qf[k] == positions[i])
+                keep_idx.push_back(i);
+            }
+            if (keep_idx.empty()) continue;
+            n_keep = keep_idx.size();
+          }
+          int b_idx = base_char_to_idx(g.base);
+          int tb = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
+          for (size_t ki = 0; ki < n_keep; ++ki) {
+            size_t i = om ? keep_idx[ki] : ki;
+            const float* row = probs.data() + i * gm;
+            float live_sum = 0.0f, best = -1.0f;
+            bool present = false;
+            for (size_t j = 0; j < gm; ++j) {
+              float pj = row[j];
+              if (pj < 0.0f) continue;
+              live_sum += pj;
+              if (!present || pj > best) best = pj;
+              present = true;
+            }
+            float canon = 1.0f - live_sum;
+            bconf[bi].push_back((present && best > canon) ? best : canon);
+            btb[bi].push_back((int8_t)tb);
+          }
+          any = true;
+        }
+      }
+      if (any) status[bi] = 1;
+    };
+    if (nt > 1 && nb > 1) {
+      std::atomic<size_t> next{0};
+      auto worker = [&]() {
+        for (;;) {
+          size_t i = next.fetch_add(1);
+          if (i >= nb) return;
+          one(i);
+        }
+      };
+      std::vector<std::thread> pool;
+      int tc = std::min<int>(nt, (int)nb);
+      for (int t = 0; t < tc; ++t) pool.emplace_back(worker);
+      for (auto& th : pool) th.join();
+    } else {
+      for (size_t i = 0; i < nb; ++i) one(i);
+    }
+    // serial quota/dedup walk, exactly the Python flush_pending order
+    for (size_t bi = 0; bi < nb; ++bi) {
+      if (max_take >= 0 && consumed >= max_take) break;
+      const Rec& r = cands[lo + bi];
+      std::string name((const char*)r.p + 32, (size_t)r.l_read_name - 1);
+      if (seen.count(name)) {
+        ++consumed;
+        continue;
+      }
+      if (status[bi]) {
+        seen.insert(name);
+        names_out += name;
+        names_out += '\n';
+        ++consumed;
+        conf_out.insert(conf_out.end(), bconf[bi].begin(), bconf[bi].end());
+        tb_out.insert(tb_out.end(), btb[bi].begin(), btb[bi].end());
+      }
+    }
+  }
+
+  *out_n = (int64_t)conf_out.size();
+  *out_conf = (float*)std::malloc(conf_out.size() ? conf_out.size() * 4 : 4);
+  std::memcpy(*out_conf, conf_out.data(), conf_out.size() * 4);
+  *out_tb = (int8_t*)std::malloc(tb_out.size() ? tb_out.size() : 1);
+  std::memcpy(*out_tb, tb_out.data(), tb_out.size());
+  *out_names_len = (int64_t)names_out.size();
+  *out_names = (char*)std::malloc(names_out.size() ? names_out.size() : 1);
+  std::memcpy(*out_names, names_out.data(), names_out.size());
+  *out_consumed = consumed;
   return 0;
 }
 
