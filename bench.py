@@ -61,9 +61,7 @@ def _kernel_rooflines(link_bw):
     import jax
     import numpy as np
 
-    from modkit_tpu.ops.pileup_counts import (
-        pileup_count_kernel, threshold_state_from_quals,
-    )
+    from modkit_tpu.ops.pileup_counts import threshold_state_from_quals
     from modkit_tpu.pileup.engine import _pallas_ok
 
     hbm_gbps = _measure_hbm_copy_gbps()
@@ -120,36 +118,82 @@ def _kernel_rooflines(link_bw):
         "link_bound_events_per_s": round(link_bw / (pallas_bpe)),
     }
 
-    # ---- fused pileup count kernel (f32 probs + scatter-add) ----
-    p = 4096
-    rpos = jax.device_put(rng.integers(0, p, n).astype(np.int32))
-    strand = jax.device_put(rng.integers(0, 2, n).astype(np.int32))
-    base32 = jax.device_put(rng.integers(0, 4, n).astype(np.int32))
-    ev_type = jax.device_put(np.zeros(n, np.int32))
-    probs = jax.device_put(
-        rng.random((n, m), dtype=np.float32)
+    # ---- pileup count aggregation ----
+    # SURVEY §7 "pileup_scatter": the Pallas one-hot-matmul kernel
+    # (ops/pallas_counts.py) replaces the XLA scatter-add (1.1% of the
+    # copy bound in BENCH_r03). Measured two ways: the count matmul
+    # kernel alone, and the full device pipeline (threshold-state ->
+    # counter/col -> count matmul -> count-tensor decode), both with
+    # device-resident inputs and byte-equality asserted first.
+    p = 100_000
+    rpos = rng.integers(0, p, n).astype(np.int32)
+    strand = rng.integers(0, 2, n).astype(np.int32)
+    base32 = rng.integers(0, 4, n).astype(np.int32)
+    probs = rng.random((n, m), dtype=np.float32)
+    from modkit_tpu.ops.pallas_counts import (
+        _count_call, _counts_from_prepared, modcall_counts_pallas,
+        prepare_events,
     )
-    valid = jax.device_put(np.ones(n, bool))
-    pileup_count_kernel(
-        rpos, strand, base32, ev_type, probs, valid, thr_mod, thr_can,
-        num_positions=p, num_codes=m,
-    ).block_until_ready()
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = pileup_count_kernel(
-            rpos, strand, base32, ev_type, probs, valid, thr_mod, thr_can,
-            num_positions=p, num_codes=m,
+    from modkit_tpu.ops.pileup_counts import modcall_counts_numpy
+
+    prep = prepare_events(rpos, strand, base32, probs, p, m)
+    plan = prep[0]
+    got = np.asarray(
+        modcall_counts_pallas(
+            rpos, strand, base32, probs, thr_mod, thr_can, p,
+            device_inputs=prep,
         )
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    count_eps = n / dt
-    count_bpe = 4 * m + 4 * 4 + 1 + 4  # probs + i32 metadata + valid + add
+    )
+    want = modcall_counts_numpy(
+        rpos.astype(np.int64), strand.astype(np.int64),
+        base32.astype(np.int64), probs, thr_mod, thr_can, p, m,
+    )
+    counts_equal = bool(np.array_equal(got, want))
+    dev = [jax.device_put(x) for x in prep[1:]]
+    c2g_d, p2_d, colb_d, valid_d, base_d, probs_d, visited_d = dev
+    tm_d = jax.device_put(thr_mod)
+    tc_d = jax.device_put(thr_can)
+    kw = dict(
+        n_groups=plan["n_groups"], kc=plan["kc"], w=plan["w"],
+        interpret=False,
+    )
+
+    def time_fn(fn):
+        fn().block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        out.block_until_ready()
+        return (time.perf_counter() - t0) / reps
+
+    dt_kernel = time_fn(
+        lambda: _count_call(
+            c2g_d, p2_d, colb_d, valid_d.astype(np.int32),
+            n_groups=plan["n_groups"], interpret=False,
+        )
+    )
+    dt_pipe = time_fn(
+        lambda: _counts_from_prepared(
+            c2g_d, p2_d, colb_d, valid_d, base_d, probs_d, visited_d,
+            tm_d, tc_d, **kw,
+        )
+    )
+    out_amort = plan["n_groups"] * 128 * 128 * 4 / max(len(np.asarray(p2_d)), 1)
+    kernel_bpe = 12 + out_amort  # 3 i32 planes in + amortized counts out
+    pipe_bpe = 4 * m + 16 + out_amort  # + probs/base/col math traffic
+    k_eps = n / dt_kernel
+    p_eps = n / dt_pipe
     count = {
-        "events_per_s": round(count_eps),
-        "bytes_per_event_hbm": count_bpe,
-        "pct_of_hbm_copy_bound": round(
-            100.0 * count_eps * count_bpe / (hbm_gbps * 1e9), 1
+        "kernel": "pallas one-hot matmul (MXU)",
+        "matmul_events_per_s": round(k_eps),
+        "matmul_pct_of_hbm_copy_bound": round(
+            100.0 * k_eps * kernel_bpe / (hbm_gbps * 1e9), 1
         ),
+        "pipeline_events_per_s": round(p_eps),
+        "pipeline_pct_of_hbm_copy_bound": round(
+            100.0 * p_eps * pipe_bpe / (hbm_gbps * 1e9), 1
+        ),
+        "outputs_equal_numpy_oracle": counts_equal,
     }
     return {
         "hbm_copy_GBps": round(hbm_gbps, 1),

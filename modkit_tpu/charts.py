@@ -155,6 +155,7 @@ def line_chart_html(
     series: list[tuple[str, list[tuple[float, float]]]],
     x_name: str,
     y_name: str,
+    color_overrides: dict | None = None,
 ) -> str:
     """Line chart of (x, y) series (localize --chart,
     localise/util.rs:86-155: percent modified by offset per mod code)."""

@@ -576,10 +576,9 @@ def run_entropy(args) -> int:
     maybe_init_distributed()
     pidx, pcount = process_info()
     shard_mode = pcount > 1
-    if shard_mode and (args.regions is not None or args.out_bed is None):
+    if shard_mode and args.out_bed is None:
         raise SystemExit(
-            "multi-host entropy requires an --out-bed file path and no "
-            "--regions"
+            "multi-host entropy requires an --out-bed output path"
         )
 
     # output writers
@@ -591,18 +590,25 @@ def run_entropy(args) -> int:
         "failed_window_count\n"
     )
     regions_out = None
+    regions_paths = None
     if args.regions is not None:
         if args.out_bed is None:
             raise SystemExit("must provide output directory with regions")
         os.makedirs(args.out_bed, exist_ok=True)
         prefix = f"{args.prefix}_" if args.prefix else ""
+        # multi-host --regions: each rank owns regions round-robin and
+        # writes shard files of BOTH outputs; rank 0 interleaves after the
+        # barrier (same sentinel machinery as the pileup shard path)
+        wpath = os.path.join(args.out_bed, f"{prefix}windows.bedgraph")
+        rpath = os.path.join(args.out_bed, f"{prefix}regions.bed")
+        regions_paths = (wpath, rpath)
         windows_out = open(
-            os.path.join(args.out_bed, f"{prefix}windows.bedgraph"), "w"
+            shard_path(wpath, pidx) if shard_mode else wpath, "w"
         )
         regions_out = open(
-            os.path.join(args.out_bed, f"{prefix}regions.bed"), "w"
+            shard_path(rpath, pidx) if shard_mode else rpath, "w"
         )
-        if args.header:
+        if args.header and (not shard_mode or pidx == 0):
             windows_out.write(windows_header)
             regions_out.write(regions_header)
     elif args.out_bed is not None:
@@ -783,8 +789,16 @@ def run_entropy(args) -> int:
                     if len(inflight) > 2 * n_workers:
                         drain_one()
             continue
+        # region mode: round-robin region ownership across ranks
+        owned = not shard_mode or batch_idx % pcount == pidx
+        batch_idx += 1
+        if not owned:
+            continue
         windows = list(win_iter)
         if not windows:
+            if shard_mode:
+                windows_out.write("\x00TILE\x00")
+                regions_out.write("\x00TILE\x00")
             continue
         process_batch(tid, windows)
         per_window = [w.into_entropy(args.min_coverage) for w in windows]
@@ -839,6 +853,9 @@ def run_entropy(args) -> int:
                 stats_row(neg_es, neg_nr, neg_fails, "-")
             for rows in per_window:
                 write_window_rows(chrom, rows)
+            if shard_mode:
+                windows_out.write("\x00TILE\x00")
+                regions_out.write("\x00TILE\x00")
 
     while inflight:
         drain_one()
@@ -858,7 +875,11 @@ def run_entropy(args) -> int:
 
         multihost_utils.sync_global_devices("modkit_entropy_shards")
         if pidx == 0:
-            merge_shards(args.out_bed, pcount)
+            if regions_paths is not None:
+                merge_shards(regions_paths[0], pcount)
+                merge_shards(regions_paths[1], pcount)
+            else:
+                merge_shards(args.out_bed, pcount)
     print(
         f"finished, {n_written} rows written, {n_failed} windows failed",
         file=sys.stderr,

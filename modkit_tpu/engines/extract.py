@@ -264,6 +264,51 @@ def calls_rows(
     return rows
 
 
+def _bgzf_block_size(raw: bytes, off: int) -> int:
+    """BGZF block size at ``off`` from the BC extra subfield."""
+    import struct as _struct
+
+    (xlen,) = _struct.unpack_from("<H", raw, off + 10)
+    p, end = off + 12, off + 12 + xlen
+    while p + 4 <= end:
+        si1, si2, slen = raw[p], raw[p + 1], _struct.unpack_from(
+            "<H", raw, p + 2
+        )[0]
+        if si1 == 0x42 and si2 == 0x43 and slen == 2:
+            return _struct.unpack_from("<H", raw, p + 4)[0] + 1
+        p += 4 + slen
+    raise ValueError(f"no BC subfield in BGZF block at {off}")
+
+
+def _shard_voffsets(reader, pcount: int) -> list[int]:
+    """Record-aligned virtual offsets splitting the BAM body into
+    ``pcount`` compressed-byte-balanced ranges. Split candidates are the
+    index's linear-index voffsets (BAI ioffsets / CSI loffsets) — each is
+    the voffset of the first record overlapping a genome window, i.e. a
+    record boundary."""
+    raw_len = len(reader.bam_raw)
+    cands = {int(reader._body_voffset)}
+    for v in reader.index.linear_voffsets():
+        cands.add(int(v))
+    ordered = sorted(cands)
+    bounds = [int(reader._body_voffset)]
+    for p in range(1, pcount):
+        target = raw_len * p // pcount
+        best = None
+        for v in ordered:
+            if v <= bounds[-1]:
+                continue
+            if best is None or abs((v >> 16) - target) < abs(
+                (best >> 16) - target
+            ):
+                best = v
+        bounds.append(best if best is not None else bounds[-1])
+    bounds.append(raw_len << 16)
+    # drop duplicate split points (tiny files): ranks with an empty range
+    # produce empty shards, which concatenate harmlessly
+    return bounds
+
+
 def run_extract(
     in_bam: str,
     out,
@@ -303,8 +348,15 @@ def run_extract(
             if name in reader.header.name_to_tid
         }
     errors = ErrorTally()
+    from ..parallel.devices import maybe_init_distributed, process_info
+
+    maybe_init_distributed()
+    pidx, pcount = process_info()
+    shard_mode = pcount > 1
     close = False
-    if isinstance(out, str):
+    if shard_mode:
+        fh = None  # ranks write shards; rank 0 concatenates at the end
+    elif isinstance(out, str):
         if out in ("-", "stdout"):
             fh = sys.stdout
         elif bgzf:
@@ -391,9 +443,108 @@ def run_extract(
 
         return keep
 
-    if include_header:
-        fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
+    # multi-host: ranks own record-aligned compressed byte ranges (split
+    # points = BAI/CSI linear-index voffsets nearest the even byte splits);
+    # shard outputs concatenate in rank order, byte-identical to the
+    # single-host stream (SURVEY §2.5 first-class multi-host; the
+    # reference's guidance is manual region sharding)
+    if shard_mode:
+        from .. import native as _native
+
+        if not (
+            mode in ("full", "calls")
+            and num_reads is None
+            and region is None
+            and include_filter is None
+            and exclude_filter is None
+            and motif_sets is None
+            and hasattr(reader, "bam_raw")
+            and reader.has_index()
+            and isinstance(out, str)
+            and out not in ("-", "stdout")
+            and _native.available()
+        ):
+            raise ValueError(
+                "multi-host extract requires the native whole-file "
+                "streaming path (no region/position filters) and a file "
+                "output path"
+            )
+
     n_reads = 0
+    if not shard_mode and include_header:
+        fh.write((FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n")
+
+    if shard_mode:
+        import os as _os
+
+        from ..parallel.devices import shard_path
+
+        raw = reader.bam_raw
+        bounds = _shard_voffsets(reader, pcount)
+        lo, hi = bounds[pidx], bounds[pidx + 1]
+        c_lo, u_lo = lo >> 16, lo & 0xFFFF
+        c_hi, u_hi = hi >> 16, hi & 0xFFFF
+        empty_range = hi <= lo
+        spath = shard_path(out, pidx)
+        if bgzf:
+            from ..io.bgzf import BgzfTextWriter
+
+            sfh = BgzfTextWriter(spath, threads=out_threads)
+        else:
+            sfh = open(spath, "w")
+        if include_header and pidx == 0:
+            sfh.write(
+                (FULL_HEADER if mode == "full" else CALLS_HEADER) + "\n"
+            )
+        if pidx == 0:
+            start_off, init_carry, parse_hdr = 0, b"", True
+        else:
+            bsz = _bgzf_block_size(raw, c_lo)
+            blk = reader._bgzf.read_span(lo, ((c_lo + bsz) << 16))
+            start_off, init_carry, parse_hdr = c_lo + bsz, bytes(blk), False
+        tail = b""
+        if u_hi > 0 and not empty_range:
+            tail = bytes(reader._bgzf.read_span(c_hi << 16, hi))
+        tid_names = [r.name for r in reader.header.refs]
+        stream = () if empty_range else _native.extract_full_stream(
+            raw, tid_names,
+            ref_seqs=ref_seqs, kmer_size=kmer_size,
+            mapped_only=mapped_only,
+            allow_non_primary=allow_non_primary,
+            edge_filter=edge_filter,
+            collapse=list(collapse) if collapse else None,
+            caller=(
+                (caller or ThresholdCaller.passthrough())
+                if mode == "calls"
+                else None
+            ),
+            pass_only=pass_only,
+            ignore_implicit=ignore_implicit,
+            n_threads=max(1, min(threads, _os.cpu_count() or 1)),
+            start_off=start_off, end_off=c_hi, init_carry=init_carry,
+            parse_header=parse_hdr, tail_data=tail,
+        )
+        for text, nr, errs in stream:
+            sfh.write(text.decode("ascii"))
+            n_reads += nr
+            for k, v in errs.items():
+                errors[k] += v
+        sfh.close()
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("modkit_extract_shards")
+        if pidx == 0:
+            with open(out, "wb") as o:
+                for r_i in range(pcount):
+                    sp = shard_path(out, r_i)
+                    with open(sp, "rb") as src:
+                        while True:
+                            chunk = src.read(1 << 20)
+                            if not chunk:
+                                break
+                            o.write(chunk)
+                    _os.remove(sp)
+        return dict(reads=n_reads, errors=dict(errors))
 
     # native streaming fast path: whole-file `extract full`/`calls` with
     # no position filters decodes + formats in C++ spans (native

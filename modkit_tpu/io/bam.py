@@ -629,6 +629,17 @@ class BaiIndex:
                     best = max(best, int(arr[:, 1].max()))
         return best or None
 
+    def linear_voffsets(self) -> list[int]:
+        """All nonzero linear-index voffsets — each is a record boundary
+        (the voffset of the first record overlapping a 16 kb window);
+        multi-host extract uses them as shard split candidates."""
+        out = []
+        for _, ioffsets, _ in self._per_ref:
+            for v in np.asarray(ioffsets).ravel():
+                if v:
+                    out.append(int(v))
+        return out
+
     def any_mapped_reads(self) -> bool:
         return any(
             (stats is not None and stats[0] > 0) or bins
@@ -715,6 +726,16 @@ class CsiIndex:
     def counts(self, tid: int) -> tuple[int, int]:
         stats = self._per_ref[tid][1]
         return stats if stats is not None else (0, 0)
+
+    def linear_voffsets(self) -> list[int]:
+        """Record-boundary voffsets (per-bin loffsets — the CSI
+        counterpart of the BAI linear index)."""
+        out = []
+        for bins, _ in self._per_ref:
+            for _chunks, loffset in bins.values():
+                if loffset:
+                    out.append(int(loffset))
+        return out
 
     def query(self, tid: int, beg: int, end: int) -> list[tuple[int, int]]:
         bins, _ = self._per_ref[tid]

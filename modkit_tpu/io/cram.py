@@ -12,8 +12,10 @@ MM/ML decode, pileup engines) consumes CRAM inputs unchanged.
 
 Scope: read-only, CRAM 3.0 (the fixtures' version); the sequence requires
 the reference FASTA (slice-embedded references are also honored).
-Region fetch decodes containers lazily and filters records; .crai seek is
-unnecessary at fixture scale and can bolt on later.
+Region fetch uses the .crai index when present (read_crai/build_crai —
+htslib cram_index format, validated against the samtools-built fixture
+indexes) to decode only covered containers; without one it falls back to
+a lazy full scan.
 """
 
 from __future__ import annotations
@@ -972,6 +974,13 @@ class CramReader:
         self._fasta = None
         self._ref_cache: dict[int, bytes] = {}
         self._records: list[BamRecord] | None = None
+        # .crai indexed seek: region fetch decodes only covered containers
+        # (htslib cram_index behavior; O(file) lazy scan without it)
+        self._crai = None
+        crai_path = self.path + ".crai"
+        if os.path.exists(crai_path):
+            self._crai = read_crai(crai_path)
+        self._container_cache: dict[int, list[BamRecord]] = {}
 
     def _read_container(self, cur: Cursor):
         length = int.from_bytes(cur.bytes(4), "little", signed=True)
@@ -1052,7 +1061,50 @@ class CramReader:
     def has_index(self) -> bool:
         return False  # serial paths engage (sampling, non-indexed pileup)
 
+    def _decode_container_at(self, offset: int) -> list[BamRecord]:
+        """Decode one container's records (cached per container offset)."""
+        recs = self._container_cache.get(offset)
+        if recs is not None:
+            return recs
+        cur = Cursor(self._data, offset)
+        blocks, (ref, start, span, nrec) = self._read_container(cur)
+        recs = []
+        if nrec:
+            comp = CompressionHeader(blocks[0].data)
+            i = 1
+            while i < len(blocks):
+                if blocks[i].content_type != CT_SLICE_HEADER:
+                    i += 1
+                    continue
+                sd = SliceDecoder(
+                    comp, blocks[i:], self.header, self._get_ref,
+                    rg_ids=self._rg_ids,
+                )
+                for raw in sd.decode_records():
+                    recs.append(BamRecord(raw))
+                i += 1 + sd.n_blocks
+        self._container_cache[offset] = recs
+        return recs
+
     def fetch(self, tid: int, start: int, end: int):
+        if self._records is None and self._crai is not None:
+            # indexed path: only containers whose slices overlap the query
+            offsets = sorted(
+                {
+                    e[3]
+                    for e in self._crai
+                    if e[0] == tid
+                    and e[1] - 1 < end
+                    and e[1] - 1 + e[2] > start
+                }
+            )
+            for off in offsets:
+                for rec in self._decode_container_at(off):
+                    if rec.ref_id != tid or rec.is_unmapped:
+                        continue
+                    if rec.pos < end and rec.reference_end() > start:
+                        yield rec
+            return
         for rec in self._decode_all():
             if rec.ref_id != tid or rec.is_unmapped:
                 continue
@@ -1082,6 +1134,72 @@ class CramReader:
 
     def n_no_coor(self) -> int:
         return sum(1 for rec in self._decode_all() if rec.ref_id < 0)
+
+
+# ------------------------------------------------------------- .crai index
+
+def read_crai(path: str) -> list[tuple[int, int, int, int, int, int]]:
+    """Parse a .crai index: gzip'd text lines of
+    (seq_id, aln_start, aln_span, container_offset, slice_offset,
+    slice_size) — htslib cram_index format (the reference gets indexed
+    CRAM seek via htslib, command_utils.rs:212-240)."""
+    raw = open(path, "rb").read()
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    out = []
+    for line in raw.decode().splitlines():
+        if not line.strip():
+            continue
+        f = [int(x) for x in line.split("\t")]
+        out.append((f[0], f[1], f[2], f[3], f[4], f[5]))
+    return out
+
+
+def build_crai(cram_path: str) -> list[tuple[int, int, int, int, int, int]]:
+    """Index a CRAM by container walk: one entry per slice, offsets from
+    the container landmarks (byte-compatible with samtools index output;
+    tests/test_cram.py compares against the shipped .crai fixtures)."""
+    data = open(cram_path, "rb").read()
+    if data[:4] != b"CRAM":
+        raise ValueError(f"{cram_path}: not a CRAM file")
+    cur = Cursor(data, 26)
+    entries = []
+    first = True
+    while cur.pos < len(data):
+        cont_off = cur.pos
+        length = int.from_bytes(cur.bytes(4), "little", signed=True)
+        ref = cur.itf8()
+        cur.itf8()  # start
+        cur.itf8()  # span
+        nrec = cur.itf8()
+        cur.ltf8()  # record counter
+        cur.ltf8()  # bases
+        cur.itf8()  # n_blocks
+        landmarks = cur.array_itf8()
+        cur.bytes(4)  # crc
+        body_start = cur.pos
+        if nrec == 0 and ref == -1 and not first:
+            break  # EOF container
+        if not first and nrec > 0:
+            for i, lm in enumerate(landmarks):
+                blk = read_block(Cursor(data, body_start + lm))
+                sh = Cursor(blk.data)
+                s_ref = sh.itf8()
+                s_start = sh.itf8()
+                s_span = sh.itf8()
+                size = (
+                    landmarks[i + 1] if i + 1 < len(landmarks) else length
+                ) - lm
+                entries.append((s_ref, s_start, s_span, cont_off, lm, size))
+        cur.pos = body_start + length
+        first = False
+    return entries
+
+
+def write_crai(entries, out_path: str) -> None:
+    text = "".join("\t".join(str(x) for x in e) + "\n" for e in entries)
+    with open(out_path, "wb") as fh:
+        fh.write(gzip.compress(text.encode()))
 
 
 def is_cram(path: str) -> bool:

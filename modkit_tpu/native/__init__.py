@@ -871,9 +871,20 @@ def extract_full_stream(
     ignore_implicit: bool = False,
     n_threads: int | None = None,
     span_comp_bytes: int = 8 << 20,
+    start_off: int = 0,
+    end_off: int | None = None,
+    init_carry: bytes = b"",
+    parse_header: bool = True,
+    tail_data: bytes = b"",
 ):
     """Stream `extract full`/`extract calls` TSV row blocks from the
     compressed BAM bytes.
+
+    ``start_off``/``end_off`` bound the compressed walk to a block-aligned
+    window (multi-host sharding: each rank owns a record-aligned byte
+    range); ``init_carry`` seeds the decompressed prefix of the first
+    record and ``tail_data`` appends the final partial-block bytes, so a
+    rank processes exactly its [voffset_lo, voffset_hi) record slice.
 
     Yields (text_bytes, n_reads, errors_dict) per ~span_comp_bytes span of
     the compressed stream; rows are byte-identical to the Python
@@ -939,13 +950,14 @@ def extract_full_stream(
             fb4[b] = float(t)
             cn4[b] = caller.canonical_threshold(base)
 
-    off = 0
-    carry = b""
-    first = True
+    off = start_off
+    end = len(raw) if end_off is None else end_off
+    carry = init_carry
+    first = parse_header
     while True:
         out = _MkExtractOut()
         rc = lib.mk_extract_span(
-            raw, len(raw), off, span_comp_bytes, carry, len(carry),
+            raw, end, off, span_comp_bytes, carry, len(carry),
             1 if first else 0, c_names, n_tids, c_refs, c_lens,
             kmer_size, 1 if mapped_only else 0,
             1 if allow_non_primary else 0,
@@ -989,6 +1001,45 @@ def extract_full_stream(
         first = False
         if eof:
             break
+    if tail_data or (end_off is not None and carry):
+        # final partial-block records past the shard's last block boundary
+        out = _MkExtractOut()
+        final = carry + tail_data
+        rc = lib.mk_extract_span(
+            b"", 0, 0, 0, final, len(final), 0,
+            c_names, n_tids, c_refs, c_lens,
+            kmer_size, 1 if mapped_only else 0,
+            1 if allow_non_primary else 0,
+            1 if has_edge else 0,
+            edge_filter.start_trim if has_edge else 0,
+            edge_filter.end_trim if has_edge else 0,
+            1 if (has_edge and edge_filter.inverted) else 0,
+            c_blob, len(blob),
+            1 if calls_mode else 0, 1 if pass_only else 0,
+            1 if ignore_implicit else 0,
+            pm_codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pm_vals.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_pm,
+            fb4.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            cn4.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            nt, ctypes.byref(out),
+        )
+        if rc != 0:
+            raise RuntimeError(f"mk_extract_span tail failed rc={rc}")
+        try:
+            text = (
+                ctypes.string_at(out.text, out.text_len)
+                if out.text_len
+                else b""
+            )
+            errors = {
+                ERR_KINDS[i]: int(out.err_counts[i])
+                for i in range(len(ERR_KINDS))
+                if out.err_counts[i]
+            }
+            yield text, int(out.n_reads), errors
+        finally:
+            lib.mk_free_extract(ctypes.byref(out))
 
 
 def sample_confidences_batch(

@@ -73,25 +73,36 @@ def threshold_states(probs, base_idx, thr_mod, thr_can):
 
     probs: f32 [N, M] with -1 for absent classes; base_idx: i32 [N];
     thr_mod: f32 [M, 4]; thr_can: f32 [4]. Also returns canonical prob.
+
+    The best-passing-class selection is a sequential column loop (M is
+    small) with >= keeping the later class — the Rust Iterator::max
+    tie-break — in pure elementwise ops: the argmax + take_along_axis
+    formulation lowered to a TPU gather that dominated the whole count
+    pipeline (~100 ms per 4 Mevent tile vs ~3 ms for everything else).
     """
     m = probs.shape[1]
     present = probs >= 0
     thr_e = thr_mod.T[base_idx]  # [N, M]
-    pass_mod = present & (probs >= thr_e)
     canon_p = jnp.float32(1.0) - jnp.sum(
         jnp.where(present, probs, 0.0), axis=1
     )
+    n = probs.shape[0]
+    best_p = jnp.full((n,), -jnp.inf, probs.dtype)
+    best_j = jnp.zeros((n,), jnp.int32)
+    any_mod = jnp.zeros((n,), bool)
+    for j in range(m):
+        pass_j = present[:, j] & (probs[:, j] >= thr_e[:, j])
+        mp = jnp.where(pass_j, probs[:, j], -jnp.inf)
+        take = mp >= best_p  # later equal class wins ties
+        best_p = jnp.where(take, mp, best_p)
+        best_j = jnp.where(take, j, best_j)
+        any_mod = any_mod | pass_j
     pass_can = canon_p >= thr_can[base_idx]
-    mod_p = jnp.where(pass_mod, probs, -jnp.inf)
-    # last max wins among mod classes (Rust Iterator::max keeps the last)
-    rev_arg = (m - 1) - jnp.argmax(mod_p[:, ::-1], axis=1)
-    best_p = jnp.take_along_axis(mod_p, rev_arg[:, None], axis=1)[:, 0]
-    any_mod = pass_mod.any(axis=1)
     choose_can = pass_can & ((~any_mod) | (canon_p >= best_p))
     state = jnp.where(
         choose_can,
         1,
-        jnp.where(any_mod, 2 + rev_arg.astype(jnp.int32), 0),
+        jnp.where(any_mod, 2 + best_j, 0),
     )
     return state, canon_p
 

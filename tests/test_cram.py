@@ -134,3 +134,51 @@ def test_huffman_canonical_order_by_symbol_value():
     hr = HuffmanReader([5, 3], [1, 1], core)
     assert hr.read_int() == 3
     assert hr.read_int() == 5
+
+
+def test_build_crai_matches_samtools_fixture(resources):
+    """Our container-walk indexer reproduces the shipped samtools-built
+    .crai entries exactly (htslib cram_index format)."""
+    from modkit_tpu.io.cram import build_crai, read_crai
+
+    for name in (
+        "bc_anchored_10_reads.sorted.cram",
+        "bc_anchored_10_reads_unmapped.sorted.cram",
+        "bc_anchored_10_reads_unmapped.cram",
+    ):
+        path = os.path.join(resources, name)
+        assert build_crai(path) == read_crai(path + ".crai"), name
+
+
+def test_crai_indexed_fetch(resources):
+    """Indexed region fetch returns the same records as the full scan and
+    touches only covered containers."""
+    from modkit_tpu.io.cram import CramReader
+
+    path = os.path.join(resources, CRAM)
+    ref = os.path.join(resources, REF)
+    r_idx = CramReader(path, ref)
+    assert r_idx._crai is not None
+    r_full = CramReader(path, ref)
+    r_full._crai = None  # force the scan path
+    got = [rec.raw() for rec in r_idx.fetch(0, 100, 400)]
+    want = [rec.raw() for rec in r_full.fetch(0, 100, 400)]
+    assert got == want and len(got) > 0
+    # only containers overlapping the query decoded
+    covered = {
+        e[3]
+        for e in r_idx._crai
+        if e[0] == 0 and e[1] - 1 < 400 and e[1] - 1 + e[2] > 100
+    }
+    assert set(r_idx._container_cache) == covered
+    assert r_idx._records is None  # no full decode happened
+
+
+def test_crai_write_roundtrip(resources, tmp_path):
+    from modkit_tpu.io.cram import build_crai, read_crai, write_crai
+
+    path = os.path.join(resources, CRAM)
+    entries = build_crai(path)
+    out = str(tmp_path / "x.crai")
+    write_crai(entries, out)
+    assert read_crai(out) == entries
