@@ -125,6 +125,19 @@ def _count_call(c2g, p2, col, valid, *, n_groups: int, interpret: bool):
     )
 
 
+# chunk-count buckets bound jit specializations of the kernel grid (the
+# same discipline as pileup_counts._EVENT_BUCKETS); padding chunks carry
+# valid=0 events routed to the final group
+_CHUNK_BUCKETS = (8, 32, 128, 512, 2048)
+
+
+def _round_up_chunks(n: int) -> int:
+    for b in _CHUNK_BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _CHUNK_BUCKETS[-1] - 1) // _CHUNK_BUCKETS[-1]) * _CHUNK_BUCKETS[-1]
+
+
 def prepare_events(
     rpos: np.ndarray,
     strand: np.ndarray,
@@ -132,11 +145,14 @@ def prepare_events(
     probs: np.ndarray,
     num_positions: int,
     num_codes: int,
+    bucket_chunks: bool = False,
 ):
     """Host-side sort + group/pad planning (numpy radix sort on int keys).
 
     Returns (plan dict, sorted+padded host arrays) ready for the device.
-    Padded slots carry valid=0 and contribute nothing.
+    Padded slots carry valid=0 and contribute nothing. ``bucket_chunks``
+    pads the chunk count to a bucket so the production path compiles a
+    bounded set of grid shapes.
     """
     kc, w, group_pos = _plan(num_codes)
     n = len(rpos)
@@ -147,12 +163,15 @@ def prepare_events(
     # events per group -> chunks per group (pad each group to CHUNK)
     gcount = np.bincount(groups, minlength=n_groups).astype(np.int64)
     gchunks = np.maximum((gcount + CHUNK - 1) // CHUNK, 0)
-    active = np.flatnonzero(gchunks)
     n_chunks = int(gchunks.sum())
     if n_chunks == 0:
         n_chunks = 1
-        active = np.array([0])
         gchunks[0] = 1
+    if bucket_chunks:
+        # pad the grid to a bucketed chunk count; the filler chunks carry
+        # only invalid events and route to the last group
+        gchunks[n_groups - 1] += _round_up_chunks(n_chunks) - n_chunks
+        n_chunks = int(gchunks.sum())
     total = n_chunks * CHUNK
     # destination offsets: group g's events start at chunk-aligned offset
     dst_group_start = np.zeros(n_groups, dtype=np.int64)
@@ -192,6 +211,7 @@ def modcall_counts_pallas(
     num_positions: int,
     interpret: bool = False,
     device_inputs: tuple | None = None,
+    bucket_chunks: bool = False,
 ):
     """Device counts [num_positions, 2, Km] via the one-hot-matmul kernel.
 
@@ -206,7 +226,8 @@ def modcall_counts_pallas(
     if device_inputs is None:
         (plan, c2g, p2, colb, valid, base_s, probs_s, visited) = (
             prepare_events(
-                rpos, strand, base_idx, probs, num_positions, m
+                rpos, strand, base_idx, probs, num_positions, m,
+                bucket_chunks=bucket_chunks,
             )
         )
     else:

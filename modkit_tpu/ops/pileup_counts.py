@@ -144,6 +144,22 @@ def modcall_count_kernel(
     return counts.reshape(num_positions, 2, km)
 
 
+_PALLAS_COUNTS_OK: bool | None = None
+
+
+def _use_pallas_counts() -> bool:
+    """Pallas one-hot-matmul counting on real TPU backends (opt-out with
+    MODKIT_TPU_PALLAS_COUNTS=0); XLA scatter elsewhere (CPU interpret
+    would be far slower than the scatter)."""
+    global _PALLAS_COUNTS_OK
+    if _PALLAS_COUNTS_OK is None:
+        if os.environ.get("MODKIT_TPU_PALLAS_COUNTS") == "0":
+            _PALLAS_COUNTS_OK = False
+        else:
+            _PALLAS_COUNTS_OK = jax.default_backend() not in ("cpu",)
+    return _PALLAS_COUNTS_OK
+
+
 def device_putter(device=None):
     """Array placement function: committed transfer to ``device`` when
     given (jit then executes on that device — the tiles-axis round-robin
@@ -175,6 +191,22 @@ def dispatch_modcall_counts(
     km = 1 + 4 * (m_pad + 1)
     if n == 0:
         return np.zeros((num_positions, 2, km), dtype=np.int32)
+    if _use_pallas_counts():
+        # TPU device counting runs the one-hot-matmul Pallas kernel
+        # (ops/pallas_counts.py — the SURVEY §7 pileup_scatter): the XLA
+        # scatter-add below serializes at ~1% of the HBM copy bound
+        from .pallas_counts import modcall_counts_pallas
+
+        probs_p = np.pad(
+            probs, ((0, 0), (0, m_pad - m)), constant_values=-1.0
+        ).astype(np.float32)
+        thr_mod_p = np.pad(thr_mod[:m], ((0, m_pad - m), (0, 0)))
+        return modcall_counts_pallas(
+            np.ascontiguousarray(rpos.astype(np.int32)),
+            strand.astype(np.int32), base_idx.astype(np.int32), probs_p,
+            thr_mod_p.astype(np.float32), thr_can.astype(np.float32),
+            num_positions, bucket_chunks=True,
+        )
     p_pad = round_up_positions(num_positions)
     nb = round_up_events(n)
     pad = nb - n
