@@ -82,8 +82,21 @@ class BgzfReader:
 
             self._raw = sys.stdin.buffer.read()
         else:
-            with open(self.path, "rb") as fh:
-                self._raw = fh.read()  # test-scale files; mmap for big inputs
+            import mmap
+
+            fd = os.open(self.path, os.O_RDONLY)
+            try:
+                size = os.fstat(fd).st_size
+                if size:
+                    # MAP_PRIVATE copy-on-write: read-only use never
+                    # dirties pages, so WGS-scale inputs stay file-backed
+                    # and evictable instead of resident (and ctypes can
+                    # wrap the map zero-copy via from_buffer)
+                    self._raw = mmap.mmap(fd, 0, access=mmap.ACCESS_COPY)
+                else:
+                    self._raw = b""
+            finally:
+                os.close(fd)
         self._coffset = 0  # file offset of current block
         self._block: bytes = b""
         self._bsize = 0

@@ -224,7 +224,8 @@ def load():
             lib.mk_free_buf.argtypes = [ctypes.c_void_p]
             lib.mk_extract_span.restype = ctypes.c_int32
             lib.mk_extract_span.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,                    # raw, raw_len
                 ctypes.c_int64, ctypes.c_int64,    # start_off, max_comp
                 ctypes.c_char_p, ctypes.c_int64,   # carry, carry_len
                 ctypes.c_int32,                    # parse_header
@@ -270,7 +271,8 @@ def load():
             ]
             lib.mk_decode_tile_bgzf.restype = ctypes.c_int32
             lib.mk_decode_tile_bgzf.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64,   # raw BAM bytes
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,                    # raw BAM bytes
                 ctypes.POINTER(ctypes.c_int64),    # chunk vbeg
                 ctypes.POINTER(ctypes.c_int64),    # chunk vend
                 ctypes.c_int32,                    # n_chunks
@@ -303,7 +305,8 @@ def load():
             lib.mk_free_groups.argtypes = [ctypes.POINTER(_MkGroupsOut)]
             lib.mk_adjust_span.restype = ctypes.c_int32
             lib.mk_adjust_span.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,                    # raw, raw_len
                 ctypes.c_int64, ctypes.c_int64,    # start_off, max_comp
                 ctypes.c_char_p, ctypes.c_int64,   # carry, carry_len
                 ctypes.c_int32,                    # parse_header
@@ -335,7 +338,8 @@ def load():
             ]
             lib.mk_sample_region.restype = ctypes.c_int32
             lib.mk_sample_region.argtypes = [
-                ctypes.c_char_p, ctypes.c_int64,   # raw, raw_len
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,                    # raw, raw_len
                 ctypes.POINTER(ctypes.c_int64),    # vbeg
                 ctypes.POINTER(ctypes.c_int64),    # vend
                 ctypes.c_int32,                    # n_chunks
@@ -364,6 +368,15 @@ def load():
 
 def available() -> bool:
     return load() is not None
+
+
+def as_cbuf(raw):
+    """Zero-copy char buffer for the native raw-BAM params: bytes pass
+    through; an mmap (ACCESS_COPY, io/bgzf.py) wraps via from_buffer so
+    WGS-scale inputs stay file-backed instead of resident."""
+    if isinstance(raw, (bytes, bytearray)):
+        return raw
+    return (ctypes.c_char * len(raw)).from_buffer(raw)
 
 
 def bench_event_rate(n_events: int = 1_000_000, m: int = 2) -> float | None:
@@ -515,7 +528,7 @@ def decode_tile_bgzf(
     out = _MkTileOut()
     nt = n_threads if n_threads is not None else min(os.cpu_count() or 1, 8)
     rc = lib.mk_decode_tile_bgzf(
-        raw, len(raw),
+        as_cbuf(raw), len(raw),
         vbeg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vend.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n_chunks, tid, start, end, max_depth,
@@ -957,7 +970,7 @@ def extract_full_stream(
     while True:
         out = _MkExtractOut()
         rc = lib.mk_extract_span(
-            raw, end, off, span_comp_bytes, carry, len(carry),
+            as_cbuf(raw), end, off, span_comp_bytes, carry, len(carry),
             1 if first else 0, c_names, n_tids, c_refs, c_lens,
             kmer_size, 1 if mapped_only else 0,
             1 if allow_non_primary else 0,
@@ -1218,7 +1231,8 @@ def adjust_stream(
     while True:
         out = _MkAdjustOut()
         rc = lib.mk_adjust_span(
-            raw, len(raw), off, span_comp_bytes, carry, len(carry),
+            as_cbuf(raw), len(raw), off, span_comp_bytes, carry,
+            len(carry),
             1 if first else 0,
             1 if has_edge else 0,
             edge_filter.start_trim if has_edge else 0,
@@ -1317,7 +1331,7 @@ def sample_region(
     out_names_len = ctypes.c_int64()
     out_consumed = ctypes.c_int64()
     rc = lib.mk_sample_region(
-        raw, len(raw),
+        as_cbuf(raw), len(raw),
         vbeg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         vend.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         n_chunks, tid, start, end,
