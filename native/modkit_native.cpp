@@ -724,6 +724,40 @@ struct DecodeOpts {
 };
 
 // aligned match columns with qf ascending (util.rs:122 + stable sort)
+// forward-coord aligned (M/=/X) runs [a, b), ascending — membership tests
+// (threshold sampling's only_mapped intersect) walk a handful of runs
+// instead of expanding per-base qf/rp vectors
+void aligned_runs_fwd(const Rec& r,
+                      std::vector<std::pair<int32_t, int32_t>>& out) {
+  const uint8_t* cg = r.cigar();
+  int64_t q = 0;
+  int64_t L = (int64_t)r.l_seq;
+  bool rev = r.is_reverse();
+  for (int i = 0; i < r.n_cigar; ++i) {
+    uint32_t v;
+    std::memcpy(&v, cg + 4 * i, 4);
+    uint32_t op = v & 0xF;
+    int64_t l = v >> 4;
+    bool cq = (op == 0 || op == 1 || op == 4 || op == 7 || op == 8);
+    if (op == 0 || op == 7 || op == 8) {
+      if (rev)
+        out.emplace_back((int32_t)(L - q - l), (int32_t)(L - q));
+      else
+        out.emplace_back((int32_t)q, (int32_t)(q + l));
+    }
+    if (cq) q += l;
+  }
+  if (rev) std::reverse(out.begin(), out.end());
+}
+
+// true iff sorted-ascending position p (with a persistent cursor k) lies
+// in one of the ascending runs
+inline bool runs_contain(const std::vector<std::pair<int32_t, int32_t>>& runs,
+                         size_t& k, int32_t p) {
+  while (k < runs.size() && runs[k].second <= p) ++k;
+  return k < runs.size() && runs[k].first <= p;
+}
+
 void aligned_pairs_sorted(const Rec& r, std::vector<int32_t>& qf,
                           std::vector<int32_t>& rp) {
   struct Run { int64_t q, rr, len; };
@@ -3034,9 +3068,9 @@ int32_t mk_sample_confidences(
     } catch (const MkError&) {
       return;
     }
-    std::vector<int32_t> qf, rp;
+    std::vector<std::pair<int32_t, int32_t>> runs;
     bool om = only_mapped[ri] != 0;
-    if (om) aligned_pairs_sorted(r, qf, rp);
+    if (om) aligned_runs_fwd(r, runs);
     bool any = false;
     bool mutate = has_edge || !collapse.empty();
     for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
@@ -3080,11 +3114,9 @@ int32_t mk_sample_confidences(
         if (om) {
           keep_idx.reserve(positions.size());
           size_t k = 0;
-          for (size_t i = 0; i < positions.size(); ++i) {
-            while (k < qf.size() && qf[k] < positions[i]) ++k;
-            if (k < qf.size() && qf[k] == positions[i])
+          for (size_t i = 0; i < positions.size(); ++i)
+            if (runs_contain(runs, k, positions[i]))
               keep_idx.push_back(i);
-          }
           if (keep_idx.empty()) continue;
           n_keep = keep_idx.size();
         }
@@ -3176,24 +3208,225 @@ int32_t mk_sample_region(
   *out_consumed = 0;
   int nt = n_threads > 0 ? n_threads : 1;
 
-  // 1) inflate the region's chunk spans (the mk_decode_tile_bgzf walk)
+  // quota/dedup state first: inflation is INCREMENTAL and stops as soon
+  // as the region's quota is consumed (sampling touches ~quota reads of a
+  // region, so inflating its whole chunk span wasted most of the work)
+  std::unordered_set<std::string> seen;
+  {
+    const char* sp = seen_blob;
+    const char* se = seen_blob + seen_len;
+    while (sp < se) {
+      const char* nl = sp;
+      while (nl < se && *nl != '\n') ++nl;
+      if (nl > sp) seen.emplace(sp, nl - sp);
+      sp = nl + 1;
+    }
+  }
+  std::vector<float> conf_out;
+  std::vector<int8_t> tb_out;
+  std::string names_out;
+  int64_t consumed = 0;
+
+  std::vector<CollapseOp> collapse;
+  for (int32_t i = 0; i < collapse_len;) {
+    CollapseOp op;
+    op.kind = (int)collapse_blob[i++];
+    int64_t nc = collapse_blob[i++];
+    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
+    op.has_to = collapse_blob[i++] != 0;
+    op.to_code = collapse_blob[i++];
+    collapse.push_back(std::move(op));
+  }
+
   std::vector<std::vector<uint8_t>> datas((size_t)n_chunks);
-  std::vector<std::pair<int64_t, int64_t>> spans((size_t)n_chunks, {0, 0});
-  bool stop = false;
-  for (int32_t c = 0; c < n_chunks && !stop; ++c) {
+  std::vector<Rec> cands;  // pointers stay valid: buffers reserve upfront
+  const size_t B = 256;  // the Python flush batch size
+  size_t next_cand = 0;
+  std::vector<uint8_t> status(B);
+  std::vector<std::vector<float>> bconf(B);
+  std::vector<std::vector<int8_t>> btb(B);
+
+  // decode+quota drain over pending candidates: full batches only unless
+  // flushing (mirrors the Python flush_pending batching exactly)
+  auto drain = [&](bool flush) {
+    while ((max_take < 0 || consumed < max_take) &&
+           (cands.size() - next_cand >= B ||
+            (flush && next_cand < cands.size()))) {
+      size_t lo = next_cand;
+      size_t hi = std::min(cands.size(), lo + B);
+      next_cand = hi;
+      size_t nb = hi - lo;
+      auto one = [&](size_t bi) {
+        const Rec& r = cands[lo + bi];
+        status[bi] = 0;
+        bconf[bi].clear();
+        btb[bi].clear();
+        std::vector<uint8_t> fwd;
+        forward_seq(r, fwd);
+        ModInfo info;
+        try {
+          AuxTags aux = scan_aux(r);
+          if (aux.bad) throw MkError{E_INVALID_MM};
+          const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+          if (!mm.present) throw MkError{E_MM_MISSING};
+          if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+          const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+          if (!ml.present) throw MkError{E_ML_MISSING};
+          if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+          if (aux.mn_present) {
+            if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+            if (aux.mn_value != (int64_t)r.l_seq)
+              throw MkError{E_INVALID_MN};
+          } else if (r.is_not_primary()) {
+            throw MkError{E_NON_PRIMARY_MN};
+          }
+          info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+        } catch (const MkError&) {
+          return;
+        }
+        std::vector<std::pair<int32_t, int32_t>> runs;
+        bool om = only_mapped != 0;
+        if (om) aligned_runs_fwd(r, runs);
+        bool any = false;
+        bool mutate = has_edge || !collapse.empty();
+        for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+          for (auto& g : info.groups) {
+            if (g.mod_strand != strand_pass) continue;
+            std::vector<int32_t> pos_c;
+            std::vector<float> probs_c;
+            std::vector<int32_t>& positions =
+                mutate ? (pos_c = g.pos, pos_c) : g.pos;
+            std::vector<float>& probs =
+                mutate ? (probs_c = g.probs, probs_c) : g.probs;
+            std::vector<Code> gcodes = g.codes;
+            size_t gm = gcodes.size();
+            if (has_edge) {
+              if ((int64_t)r.l_seq <= edge_start + edge_end) continue;
+              int64_t elo = edge_start, ehi = (int64_t)r.l_seq - edge_end;
+              std::vector<int32_t> np_;
+              std::vector<float> npr;
+              for (size_t i = 0; i < positions.size(); ++i) {
+                bool inside = positions[i] >= elo && positions[i] < ehi;
+                bool keepi = edge_inverted ? !inside : inside;
+                if (keepi) {
+                  np_.push_back(positions[i]);
+                  for (size_t j = 0; j < gm; ++j)
+                    npr.push_back(probs[i * gm + j]);
+                }
+              }
+              if (np_.empty()) continue;
+              positions = std::move(np_);
+              probs = std::move(npr);
+            }
+            for (const auto& op : collapse)
+              apply_collapse(gcodes, probs, gm, positions.size(), op);
+            size_t n_keep = positions.size();
+            std::vector<size_t> keep_idx;
+            if (om) {
+              keep_idx.reserve(positions.size());
+              size_t k = 0;
+              for (size_t i = 0; i < positions.size(); ++i)
+                if (runs_contain(runs, k, positions[i]))
+                  keep_idx.push_back(i);
+              if (keep_idx.empty()) continue;
+              n_keep = keep_idx.size();
+            }
+            int b_idx = base_char_to_idx(g.base);
+            int tb = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
+            for (size_t ki = 0; ki < n_keep; ++ki) {
+              size_t i = om ? keep_idx[ki] : ki;
+              const float* row = probs.data() + i * gm;
+              float live_sum = 0.0f, best = -1.0f;
+              bool present = false;
+              for (size_t j = 0; j < gm; ++j) {
+                float pj = row[j];
+                if (pj < 0.0f) continue;
+                live_sum += pj;
+                if (!present || pj > best) best = pj;
+                present = true;
+              }
+              float canon = 1.0f - live_sum;
+              bconf[bi].push_back((present && best > canon) ? best : canon);
+              btb[bi].push_back((int8_t)tb);
+            }
+            any = true;
+          }
+        }
+        if (any) status[bi] = 1;
+      };
+      if (nt > 1 && nb > 1) {
+        std::atomic<size_t> next{0};
+        auto worker = [&]() {
+          for (;;) {
+            size_t i = next.fetch_add(1);
+            if (i >= nb) return;
+            one(i);
+          }
+        };
+        std::vector<std::thread> pool;
+        int tc = std::min<int>(nt, (int)nb);
+        for (int t = 0; t < tc; ++t) pool.emplace_back(worker);
+        for (auto& th : pool) th.join();
+      } else {
+        for (size_t i = 0; i < nb; ++i) one(i);
+      }
+      // serial quota/dedup walk, exactly the Python flush_pending order
+      for (size_t bi = 0; bi < nb; ++bi) {
+        if (max_take >= 0 && consumed >= max_take) break;
+        const Rec& r = cands[lo + bi];
+        std::string name((const char*)r.p + 32, (size_t)r.l_read_name - 1);
+        if (seen.count(name)) {
+          ++consumed;
+          continue;
+        }
+        if (status[bi]) {
+          seen.insert(name);
+          names_out += name;
+          names_out += '\n';
+          ++consumed;
+          conf_out.insert(conf_out.end(), bconf[bi].begin(),
+                          bconf[bi].end());
+          tb_out.insert(tb_out.end(), btb[bi].begin(), btb[bi].end());
+        }
+      }
+    }
+  };
+
+  // incremental inflate + fetch-semantics candidate walk (io/bam.py:447):
+  // stop at the first record past the region OR once quota is consumed
+  bool done = false;
+  for (int32_t c = 0; c < n_chunks && !done; ++c) {
+    if (max_take >= 0 && consumed >= max_take) break;
     int64_t c0 = vbeg[c] >> 16, u0 = vbeg[c] & 0xFFFF;
     int64_t c1 = vend[c] >> 16, u1 = vend[c] & 0xFFFF;
     std::vector<uint8_t>& data = datas[c];
+    // pre-walk block headers (cheap, no inflate) to reserve the buffer so
+    // incremental appends never reallocate under live Rec pointers
+    {
+      int64_t off = c0, total = 0;
+      while (off < raw_len) {
+        if (off > c1 || (off == c1 && u1 == 0)) break;
+        int64_t bs, doff, dlen;
+        if (!bgzf_block_info(raw, raw_len, off, &bs, &doff, &dlen)) break;
+        uint32_t isize;
+        std::memcpy(&isize, raw + off + bs - 4, 4);
+        total += isize;
+        if (off == c1) break;
+        off += bs;
+      }
+      data.reserve((size_t)total);
+    }
     int64_t off = c0;
     int64_t scan = u0;
-    int64_t last_block_out = -1;
+    int64_t chunk_limit = -1;  // set once the c1 block lands (u1 trim)
     bool hit_span_end = false;
-    while (off < raw_len && !hit_span_end && !stop) {
-      struct B {
+    while (off < raw_len && !hit_span_end && !done &&
+           (max_take < 0 || consumed < max_take)) {
+      struct Blk {
         int64_t doff, dlen, out_off;
         uint32_t isize;
       };
-      std::vector<B> batch;
+      std::vector<Blk> batch;
       int64_t base = (int64_t)data.size();
       int64_t total = 0;
       while (off < raw_len && (int)batch.size() < nt * 8) {
@@ -3208,7 +3441,7 @@ int32_t mk_sample_region(
         }
         uint32_t isize;
         std::memcpy(&isize, raw + off + bs - 4, 4);
-        if (off == c1) last_block_out = base + total;
+        if (off == c1 && u1 > 0) chunk_limit = base + total + (int64_t)u1;
         batch.push_back({doff, dlen, base + total, isize});
         total += isize;
         if (off == c1) {
@@ -3220,7 +3453,7 @@ int32_t mk_sample_region(
       }
       if (batch.empty()) break;
       data.resize((size_t)(base + total));
-      auto do_one = [&](const B& b) {
+      auto do_one = [&](const Blk& b) {
         if (b.isize)
           inflate_block_raw(raw + b.doff, b.dlen, data.data() + b.out_off,
                             b.isize);
@@ -3241,230 +3474,35 @@ int32_t mk_sample_region(
       } else {
         for (auto& b : batch) do_one(b);
       }
-      int64_t avail = (int64_t)data.size();
-      while (scan + 4 <= avail) {
+      // candidate extraction up to the inflated frontier
+      int64_t limit = (int64_t)data.size();
+      if (chunk_limit >= 0) limit = std::min(limit, chunk_limit);
+      while (scan + 4 <= limit) {
         int32_t bs32;
         std::memcpy(&bs32, data.data() + scan, 4);
-        if (bs32 < 32 || scan + 4 + bs32 > avail) break;
-        int32_t r_ref, r_pos;
-        std::memcpy(&r_ref, data.data() + scan + 4, 4);
-        std::memcpy(&r_pos, data.data() + scan + 8, 4);
+        if (bs32 < 32 || scan + 4 + bs32 > limit) break;
+        Rec r;
+        r.p = data.data() + scan + 4;
+        r.len = bs32;
+        r.parse_head();
         scan += 4 + bs32;
-        if (r_ref > tid || (r_ref == tid && (int64_t)r_pos >= end)) {
-          stop = true;
-          break;
-        }
-      }
-    }
-    int64_t hi = (int64_t)data.size();
-    if (u1 > 0 && last_block_out >= 0)
-      hi = std::min<int64_t>(hi, last_block_out + u1);
-    if (stop) hi = std::min<int64_t>(hi, scan);
-    int64_t lo = std::min<int64_t>(u0, hi);
-    spans[c] = {lo, hi};
-  }
-
-  // 2) candidate walk with fetch semantics (io/bam.py:447): stop at the
-  // first record past the region; keep primary mapped overlapping reads
-  std::vector<Rec> cands;
-  bool done = false;
-  for (int32_t c = 0; c < n_chunks && !done; ++c) {
-    const uint8_t* buf = datas[c].data();
-    int64_t p = spans[c].first, hi = spans[c].second;
-    while (p + 4 <= hi) {
-      int32_t bs;
-      std::memcpy(&bs, buf + p, 4);
-      if (bs < 32 || p + 4 + bs > hi) break;
-      Rec r;
-      r.p = buf + p + 4;
-      r.len = bs;
-      r.parse_head();
-      p += 4 + bs;
-      if (r.ref_id != tid || (int64_t)r.pos >= end) {
-        if (r.ref_id > tid || (r.ref_id == tid && (int64_t)r.pos >= end)) {
-          done = true;
-          break;
-        }
-        continue;
-      }
-      if (r.is_unmapped()) continue;
-      if (r.pos + r.reference_span() <= start) continue;
-      if (r.is_not_primary()) continue;  // use_record
-      cands.push_back(r);
-    }
-  }
-
-  // 3) quota/dedup walk in record order with batch-parallel decode
-  std::unordered_set<std::string> seen;
-  {
-    const char* s = seen_blob;
-    const char* e = seen_blob + seen_len;
-    while (s < e) {
-      const char* nl = s;
-      while (nl < e && *nl != '\n') ++nl;
-      if (nl > s) seen.emplace(s, nl - s);
-      s = nl + 1;
-    }
-  }
-  std::vector<float> conf_out;
-  std::vector<int8_t> tb_out;
-  std::string names_out;
-  int64_t consumed = 0;
-
-  std::vector<CollapseOp> collapse;
-  for (int32_t i = 0; i < collapse_len;) {
-    CollapseOp op;
-    op.kind = (int)collapse_blob[i++];
-    int64_t nc = collapse_blob[i++];
-    for (int64_t j = 0; j < nc; ++j) op.codes.push_back(collapse_blob[i++]);
-    op.has_to = collapse_blob[i++] != 0;
-    op.to_code = collapse_blob[i++];
-    collapse.push_back(std::move(op));
-  }
-
-  const size_t B = 256;  // the Python flush batch size
-  size_t next_cand = 0;
-  std::vector<uint8_t> status(B);
-  std::vector<std::vector<float>> bconf(B);
-  std::vector<std::vector<int8_t>> btb(B);
-  while (next_cand < cands.size() &&
-         (max_take < 0 || consumed < max_take)) {
-    size_t lo = next_cand;
-    size_t hi = std::min(cands.size(), lo + B);
-    next_cand = hi;
-    size_t nb = hi - lo;
-    auto one = [&](size_t bi) {
-      const Rec& r = cands[lo + bi];
-      status[bi] = 0;
-      bconf[bi].clear();
-      btb[bi].clear();
-      std::vector<uint8_t> fwd;
-      forward_seq(r, fwd);
-      ModInfo info;
-      try {
-        AuxTags aux = scan_aux(r);
-        if (aux.bad) throw MkError{E_INVALID_MM};
-        const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
-        if (!mm.present) throw MkError{E_MM_MISSING};
-        if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
-        const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
-        if (!ml.present) throw MkError{E_ML_MISSING};
-        if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
-        if (aux.mn_present) {
-          if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
-          if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
-        } else if (r.is_not_primary()) {
-          throw MkError{E_NON_PRIMARY_MN};
-        }
-        info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
-      } catch (const MkError&) {
-        return;
-      }
-      std::vector<int32_t> qf, rp;
-      bool om = only_mapped != 0;
-      if (om) aligned_pairs_sorted(r, qf, rp);
-      bool any = false;
-      bool mutate = has_edge || !collapse.empty();
-      for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
-        for (auto& g : info.groups) {
-          if (g.mod_strand != strand_pass) continue;
-          std::vector<int32_t> pos_c;
-          std::vector<float> probs_c;
-          std::vector<int32_t>& positions = mutate ? (pos_c = g.pos, pos_c) : g.pos;
-          std::vector<float>& probs = mutate ? (probs_c = g.probs, probs_c) : g.probs;
-          std::vector<Code> gcodes = g.codes;
-          size_t gm = gcodes.size();
-          if (has_edge) {
-            if ((int64_t)r.l_seq <= edge_start + edge_end) continue;
-            int64_t elo = edge_start, ehi = (int64_t)r.l_seq - edge_end;
-            std::vector<int32_t> np_;
-            std::vector<float> npr;
-            for (size_t i = 0; i < positions.size(); ++i) {
-              bool inside = positions[i] >= elo && positions[i] < ehi;
-              bool keepi = edge_inverted ? !inside : inside;
-              if (keepi) {
-                np_.push_back(positions[i]);
-                for (size_t j = 0; j < gm; ++j)
-                  npr.push_back(probs[i * gm + j]);
-              }
-            }
-            if (np_.empty()) continue;
-            positions = std::move(np_);
-            probs = std::move(npr);
+        if (r.ref_id != tid || (int64_t)r.pos >= end) {
+          if (r.ref_id > tid ||
+              (r.ref_id == tid && (int64_t)r.pos >= end)) {
+            done = true;
+            break;
           }
-          for (const auto& op : collapse)
-            apply_collapse(gcodes, probs, gm, positions.size(), op);
-          size_t n_keep = positions.size();
-          std::vector<size_t> keep_idx;
-          if (om) {
-            keep_idx.reserve(positions.size());
-            size_t k = 0;
-            for (size_t i = 0; i < positions.size(); ++i) {
-              while (k < qf.size() && qf[k] < positions[i]) ++k;
-              if (k < qf.size() && qf[k] == positions[i])
-                keep_idx.push_back(i);
-            }
-            if (keep_idx.empty()) continue;
-            n_keep = keep_idx.size();
-          }
-          int b_idx = base_char_to_idx(g.base);
-          int tb = (g.mod_strand == 0) ? b_idx : IDX_COMPL[b_idx];
-          for (size_t ki = 0; ki < n_keep; ++ki) {
-            size_t i = om ? keep_idx[ki] : ki;
-            const float* row = probs.data() + i * gm;
-            float live_sum = 0.0f, best = -1.0f;
-            bool present = false;
-            for (size_t j = 0; j < gm; ++j) {
-              float pj = row[j];
-              if (pj < 0.0f) continue;
-              live_sum += pj;
-              if (!present || pj > best) best = pj;
-              present = true;
-            }
-            float canon = 1.0f - live_sum;
-            bconf[bi].push_back((present && best > canon) ? best : canon);
-            btb[bi].push_back((int8_t)tb);
-          }
-          any = true;
+          continue;
         }
+        if (r.is_unmapped()) continue;
+        if (r.pos + r.reference_span() <= start) continue;
+        if (r.is_not_primary()) continue;  // use_record
+        cands.push_back(r);
       }
-      if (any) status[bi] = 1;
-    };
-    if (nt > 1 && nb > 1) {
-      std::atomic<size_t> next{0};
-      auto worker = [&]() {
-        for (;;) {
-          size_t i = next.fetch_add(1);
-          if (i >= nb) return;
-          one(i);
-        }
-      };
-      std::vector<std::thread> pool;
-      int tc = std::min<int>(nt, (int)nb);
-      for (int t = 0; t < tc; ++t) pool.emplace_back(worker);
-      for (auto& th : pool) th.join();
-    } else {
-      for (size_t i = 0; i < nb; ++i) one(i);
-    }
-    // serial quota/dedup walk, exactly the Python flush_pending order
-    for (size_t bi = 0; bi < nb; ++bi) {
-      if (max_take >= 0 && consumed >= max_take) break;
-      const Rec& r = cands[lo + bi];
-      std::string name((const char*)r.p + 32, (size_t)r.l_read_name - 1);
-      if (seen.count(name)) {
-        ++consumed;
-        continue;
-      }
-      if (status[bi]) {
-        seen.insert(name);
-        names_out += name;
-        names_out += '\n';
-        ++consumed;
-        conf_out.insert(conf_out.end(), bconf[bi].begin(), bconf[bi].end());
-        tb_out.insert(tb_out.end(), btb[bi].begin(), btb[bi].end());
-      }
+      drain(false);
     }
   }
+  drain(true);
 
   *out_n = (int64_t)conf_out.size();
   *out_conf = (float*)std::malloc(conf_out.size() ? conf_out.size() * 4 : 4);
