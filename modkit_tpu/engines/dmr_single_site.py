@@ -252,11 +252,15 @@ def run_single_site_analysis(
     interval_size: int = 100_000,
     header: bool = False,
     segmenter: HmmSegmenter | None = None,
+    shard: tuple[int, int] = (0, 1),
 ) -> tuple[int, int]:
+    # multi-host: position batches owned round-robin, sentinel-framed
+    # shard output merged by rank 0 (the pileup shard machinery)
+    pidx, pcount = shard
     num_a, num_b = len(a_idxs), len(b_idxs)
     matched = num_a == num_b and num_a > 1
     multiple = num_a > 1 or num_b > 1
-    if header:
+    if header and pidx == 0:
         out.write(_header(multiple, matched))
 
     contigs = sorted(
@@ -266,9 +270,11 @@ def run_single_site_analysis(
         and any(sample_index.has_contig(i, c) for i in b_idxs)
     )
     successes = failures = 0
-    for chrom, lo, hi, positions in _iter_position_batches(
-        genome_positions, contigs, interval_size
+    for batch_idx, (chrom, lo, hi, positions) in enumerate(
+        _iter_position_batches(genome_positions, contigs, interval_size)
     ):
+        if pcount > 1 and batch_idx % pcount != pidx:
+            continue
         pos_set = set(positions)
         counts_a = _collect_counts(
             sample_index, a_idxs, chrom, lo, hi, pos_set
@@ -283,6 +289,8 @@ def run_single_site_analysis(
             key=lambda k: (k[0], 0 if k[1] == "+" else 1),
         )
         if not common:
+            if pcount > 1:
+                out.write("\x00TILE\x00")
             continue
         site_rows = []
         collapsed_pairs = []
@@ -375,6 +383,8 @@ def run_single_site_analysis(
             seg_sites.append((pos, score, ca, cb))
         if segmenter is not None:
             segmenter.add_sites(chrom, seg_sites)
+        if pcount > 1:
+            out.write("\x00TILE\x00")
     if segmenter is not None:
         segmenter.finish()
     return successes, failures
@@ -451,16 +461,34 @@ def run_single_site(args, code_lookup) -> int:
                 linear_transitions=linear,
             )
         segmenter = HmmSegmenter(args.segment, hmm, args.max_gap_size)
+    from ..parallel.devices import (
+        maybe_init_distributed, process_info, shard_path,
+    )
+
+    maybe_init_distributed()
+    pidx, pcount = process_info()
+    if pcount > 1 and (args.out_path is None or segmenter is not None):
+        raise SystemExit(
+            "multi-host dmr single-site requires -o/--out-path and no "
+            "--segment (HMM segmentation is cross-batch stateful)"
+        )
     if args.out_path is None:
         out = sys.stdout
         close = False
     else:
-        if os.path.exists(args.out_path) and not args.force:
+        if (
+            os.path.exists(args.out_path)
+            and not args.force
+            and pcount == 1
+        ):
             raise SystemExit(
                 f"refusing to overwrite existing file {args.out_path}"
             )
         os.makedirs(os.path.dirname(args.out_path) or ".", exist_ok=True)
-        out = open(args.out_path, "w")
+        path = (
+            shard_path(args.out_path, pidx) if pcount > 1 else args.out_path
+        )
+        out = open(path, "w")
         close = True
     try:
         run_single_site_analysis(
@@ -473,8 +501,17 @@ def run_single_site(args, code_lookup) -> int:
             interval_size=args.interval_size,
             header=args.header,
             segmenter=segmenter,
+            shard=(pidx, pcount),
         )
     finally:
         if close:
             out.close()
+    if pcount > 1:
+        from jax.experimental import multihost_utils
+
+        from ..parallel.devices import merge_shards
+
+        multihost_utils.sync_global_devices("modkit_dmr_single_site_shards")
+        if pidx == 0:
+            merge_shards(args.out_path, pcount)
     return 0

@@ -317,3 +317,109 @@ def test_multihost_entropy_regions_byte_equal(tmp_path, resources):
         assert len(single) > 0
     regions = open(os.path.join(single_out, "regions.bed")).read()
     assert "r1" in regions or "r2" in regions
+
+
+_DMR_SS_DRIVER = """
+import sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+sys.path.insert(0, {repo!r})
+from modkit_tpu.cli import main
+rc = main([
+    "dmr", "pair",
+    "-a", {a!r},
+    "-b", {b!r},
+    "-o", {out!r},
+    "--ref", {ref!r},
+    "-f",
+    "--base", "C",
+    "--header",
+    "--max-coverages", "30", "30",
+    "--interval-size", "1000000",
+])
+sys.exit(rc)
+"""
+
+
+def test_multihost_dmr_single_site_byte_equal(tmp_path, resources):
+    """dmr single-site sharded over 2 real processes: position batches
+    owned round-robin, sentinel shards, rank-0 merge byte-identical to
+    the single-host run (extends SURVEY §2.5 first-class multi-host to
+    the 4th engine)."""
+    import zlib
+
+    import numpy as np
+
+    a_bm = os.path.join(
+        resources,
+        "lung_00733-m_adjacent-normal_5mc-5hmc_chr20_cpg_pileup.bed.gz",
+    )
+    b_bm = os.path.join(
+        resources,
+        "lung_00733-m_primary-tumour_5mc-5hmc_chr20_cpg_pileup.bed.gz",
+    )
+    # synth reference with C/G at record positions (test_dmr.py fixture)
+    max_pos = 0
+    rows = []
+    for path in (a_bm, b_bm):
+        raw = open(path, "rb").read()
+        blob = bytearray()
+        while raw:
+            d = zlib.decompressobj(wbits=47)
+            blob += d.decompress(raw)
+            raw = d.unused_data
+        for line in bytes(blob).split(b"\n"):
+            if not line:
+                continue
+            f = line.decode().split("\t")
+            rows.append((int(f[1]), f[5]))
+            max_pos = max(max_pos, int(f[1]))
+    seq = np.full(max_pos + 2, ord("A"), dtype=np.uint8)
+    for pos, strand in rows:
+        seq[pos] = ord("C") if strand != "-" else ord("G")
+    ref = tmp_path / "chr20_synth.fa"
+    with open(ref, "w") as fh:
+        fh.write(">chr20\n")
+        s = seq.tobytes().decode()
+        for i in range(0, len(s), 80):
+            fh.write(s[i : i + 80] + "\n")
+
+    driver = tmp_path / "dmr_ss_driver.py"
+    port = _free_port()
+
+    def run(nproc_env, pidx, out):
+        driver.write_text(
+            _DMR_SS_DRIVER.format(
+                repo=REPO, a=a_bm, b=b_bm, out=str(out), ref=str(ref)
+            )
+        )
+        env = dict(os.environ)
+        env.pop("MODKIT_TPU_DEVICES", None)
+        if nproc_env > 1:
+            env["MODKIT_TPU_COORD"] = f"localhost:{port}"
+            env["MODKIT_TPU_NPROC"] = str(nproc_env)
+            env["MODKIT_TPU_PROC_ID"] = str(pidx)
+        else:
+            env.pop("MODKIT_TPU_COORD", None)
+        return subprocess.Popen(
+            [sys.executable, str(driver)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+        )
+
+    single_out = tmp_path / "single.bed"
+    p = run(1, 0, single_out)
+    _, err = p.communicate(timeout=600)
+    assert p.returncode == 0, err.decode()
+
+    multi_out = tmp_path / "multi.bed"
+    procs = [run(2, i, multi_out) for i in range(2)]
+    for p in procs:
+        _, err = p.communicate(timeout=600)
+        assert p.returncode == 0, err.decode()
+
+    single = single_out.read_bytes()
+    assert multi_out.read_bytes() == single
+    assert single.startswith(b"chrom\t")
