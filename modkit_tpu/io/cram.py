@@ -1024,33 +1024,54 @@ class CramReader:
         self._ref_cache[tid] = seq
         return seq
 
+    def _container_meta(self, offset: int):
+        """(next_offset, ref, start, span, nrec) from the container header
+        only — no block decompression."""
+        cur = Cursor(self._data, offset)
+        length = int.from_bytes(cur.bytes(4), "little", signed=True)
+        ref = cur.itf8()
+        start = cur.itf8()
+        span = cur.itf8()
+        nrec = cur.itf8()
+        cur.ltf8()
+        cur.ltf8()
+        cur.itf8()  # n blocks
+        cur.array_itf8()
+        cur.bytes(4)
+        return cur.pos + length, ref, start, span, nrec
+
+    def _native_decode_container(self, offset: int):
+        """Raw BAM record bytes via the native decoder (C++ rANS/gzip +
+        slice decode, byte-identical to SliceDecoder); None -> use the
+        Python path (native unavailable, rare codecs, multi-ref)."""
+        from .. import native as _native
+
+        if not _native.available():
+            return None
+        cur = Cursor(self._data, offset + 4)
+        ref = cur.itf8()
+        ref_bytes = None
+        if ref >= 0:
+            try:
+                ref_bytes = self._get_ref(ref)
+            except ValueError:
+                return None  # no FASTA: python path handles embedded refs
+        return _native.cram_decode_container(
+            self._data, offset, ref_bytes, self._rg_ids
+        )
+
     def _decode_all(self) -> list[BamRecord]:
         if self._records is not None:
             return self._records
-        cur = Cursor(self._data, self._containers_at)
+        pos = self._containers_at
         out: list[BamRecord] = []
-        while cur.pos < len(self._data):
-            pos_before = cur.pos
-            blocks, (ref, start, span, nrec) = self._read_container(cur)
+        while pos < len(self._data):
+            next_pos, ref, _start, _span, nrec = self._container_meta(pos)
             if nrec == 0 and ref == -1:
                 break  # EOF container
-            if nrec == 0:
-                continue
-            comp = CompressionHeader(blocks[0].data)
-            # remaining blocks belong to slices; slice header blocks have
-            # content type 2, each followed by its own n_blocks
-            i = 1
-            while i < len(blocks):
-                if blocks[i].content_type != CT_SLICE_HEADER:
-                    i += 1
-                    continue
-                sd = SliceDecoder(
-                    comp, blocks[i:], self.header, self._get_ref,
-                    rg_ids=self._rg_ids,
-                )
-                for raw in sd.decode_records():
-                    out.append(BamRecord(raw))
-                i += 1 + sd.n_blocks
+            if nrec:
+                out.extend(self._decode_container_at(pos))
+            pos = next_pos
         self._records = out
         return out
 
@@ -1062,9 +1083,15 @@ class CramReader:
         return False  # serial paths engage (sampling, non-indexed pileup)
 
     def _decode_container_at(self, offset: int) -> list[BamRecord]:
-        """Decode one container's records (cached per container offset)."""
+        """Decode one container's records (cached per container offset;
+        native decoder first, Python SliceDecoder fallback)."""
         recs = self._container_cache.get(offset)
         if recs is not None:
+            return recs
+        raws = self._native_decode_container(offset)
+        if raws is not None:
+            recs = [BamRecord(r) for r in raws]
+            self._container_cache[offset] = recs
             return recs
         cur = Cursor(self._data, offset)
         blocks, (ref, start, span, nrec) = self._read_container(cur)

@@ -331,6 +331,17 @@ def load():
             ]
             lib.mk_free_adjust.restype = None
             lib.mk_free_adjust.argtypes = [ctypes.POINTER(_MkAdjustOut)]
+            lib.mk_cram_decode_container.restype = ctypes.c_int32
+            lib.mk_cram_decode_container.argtypes = [
+                ctypes.POINTER(ctypes.c_char),
+                ctypes.c_int64,                    # data, data_len
+                ctypes.c_int64,                    # container offset
+                ctypes.c_char_p, ctypes.c_int64,   # ref, ref_len
+                ctypes.c_char_p, ctypes.c_int64,   # rg blob
+                ctypes.POINTER(ctypes.c_void_p),   # out blob
+                ctypes.POINTER(ctypes.c_int64),    # out blob len
+                ctypes.POINTER(ctypes.c_int32),    # out n
+            ]
             lib.mk_compress_block.restype = ctypes.c_int64
             lib.mk_compress_block.argtypes = [
                 ctypes.c_char_p, ctypes.c_int64,
@@ -1377,3 +1388,47 @@ def sample_region(
         lib.mk_free_buf(out_tb)
         lib.mk_free_buf(out_names)
     return conf, tb, int(out_consumed.value), names
+
+
+def cram_decode_container(
+    data, off: int, ref: bytes | None, rg_ids: list
+):
+    """Decode one CRAM container into raw BAM record buffers (native
+    mk_cram_decode_container; mirrors io/cram.py SliceDecoder
+    byte-for-byte). Returns a list of record byte strings, or None when
+    the native library is unavailable or the container needs the Python
+    fallback (rare codecs / multi-reference containers)."""
+    lib = load()
+    if lib is None:
+        return None
+    blob = "\n".join(rg_ids).encode()
+    out_blob = ctypes.c_void_p()
+    out_len = ctypes.c_int64()
+    out_n = ctypes.c_int32()
+    rc = lib.mk_cram_decode_container(
+        as_cbuf(data), len(data), off,
+        ref, len(ref) if ref is not None else 0,
+        blob, len(blob),
+        ctypes.byref(out_blob), ctypes.byref(out_len), ctypes.byref(out_n),
+    )
+    if rc == 1:
+        return None  # python fallback
+    if rc != 0:
+        raise ValueError(f"corrupt CRAM container at offset {off}")
+    try:
+        raw = (
+            ctypes.string_at(out_blob, out_len.value)
+            if out_len.value
+            else b""
+        )
+    finally:
+        lib.mk_free_buf(out_blob)
+    recs = []
+    p = 0
+    import struct as _struct
+
+    while p + 4 <= len(raw):
+        (n,) = _struct.unpack_from("<i", raw, p)
+        recs.append(raw[p + 4 : p + 4 + n])
+        p += 4 + n
+    return recs

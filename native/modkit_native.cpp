@@ -29,6 +29,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <map>
 #include <memory>
 #include <string>
 #include <thread>
@@ -3558,6 +3559,1066 @@ int32_t mk_sample_region(
   *out_consumed = consumed;
   return 0;
 }
+
+// ----------------------------------------------------- native CRAM decode
+// CRAM 3.0 container -> raw BAM records, mirroring io/cram.py SliceDecoder
+// byte-for-byte (tests/test_cram.py native-vs-python). Python remains the
+// oracle and the fallback for the rare block codecs (bzip2/lzma) and
+// multi-reference (-2) containers: rc != 0 routes the container back to
+// the Python path.
+
+namespace cram {
+
+struct CCur {
+  const uint8_t* d;
+  int64_t n, p = 0;
+  bool fail = false;
+  uint8_t u8() {
+    if (p >= n) { fail = true; return 0; }
+    return d[p++];
+  }
+  void skip(int64_t k) { p += k; if (p > n) fail = true; }
+  const uint8_t* take(int64_t k) {
+    const uint8_t* r = d + p;
+    skip(k);
+    return r;
+  }
+  int64_t itf8() {
+    uint32_t b0 = u8();
+    uint32_t v;
+    if (b0 < 0x80) v = b0;
+    else if (b0 < 0xC0) v = ((b0 & 0x7F) << 8) | u8();
+    else if (b0 < 0xE0) { v = (b0 & 0x3F) << 16; v |= (uint32_t)u8() << 8; v |= u8(); }
+    else if (b0 < 0xF0) { v = (b0 & 0x1F) << 24; v |= (uint32_t)u8() << 16; v |= (uint32_t)u8() << 8; v |= u8(); }
+    else { v = (uint64_t)(b0 & 0x0F) << 28; v |= (uint32_t)u8() << 20; v |= (uint32_t)u8() << 12; v |= (uint32_t)u8() << 4; v |= u8() & 0x0F; }
+    return (int32_t)v;  // ITF8 is a signed 32-bit value
+  }
+  int64_t ltf8() {
+    uint32_t b0 = u8();
+    int nb;
+    if (b0 < 0x80) return (int64_t)b0;
+    else if (b0 < 0xC0) nb = 1;
+    else if (b0 < 0xE0) nb = 2;
+    else if (b0 < 0xF0) nb = 3;
+    else if (b0 < 0xF8) nb = 4;
+    else if (b0 < 0xFC) nb = 5;
+    else if (b0 < 0xFE) nb = 6;
+    else if (b0 < 0xFF) nb = 7;
+    else nb = 8;
+    static const uint32_t mask[9] = {0xFF, 0x7F, 0x3F, 0x1F, 0x0F, 0x07, 0x03, 0x01, 0x00};
+    uint64_t v = b0 & mask[nb];
+    for (int i = 0; i < nb; ++i) v = (v << 8) | u8();
+    return (int64_t)v;
+  }
+  std::vector<int64_t> array_itf8() {
+    int64_t k = itf8();
+    std::vector<int64_t> out;
+    if (k < 0 || k > (1 << 24)) { fail = true; return out; }
+    out.reserve((size_t)k);
+    for (int64_t i = 0; i < k; ++i) out.push_back(itf8());
+    return out;
+  }
+};
+
+// ---- rANS 4x8 (order 0/1), CRAM 3.0 section 13 ----
+constexpr uint32_t kRansLow = 1u << 23;
+
+static bool rans_read_freq0(CCur& c, uint32_t* freqs) {
+  std::memset(freqs, 0, 256 * 4);
+  int sym = c.u8();
+  int rle = 0;
+  int last_sym = sym;
+  for (;;) {
+    if (c.fail || sym > 255) return false;
+    freqs[sym] = (uint32_t)c.itf8();
+    if (rle > 0) {
+      rle -= 1;
+      sym += 1;
+    } else {
+      int nxt = c.u8();
+      if (c.fail) return false;
+      if (nxt == 0) break;
+      if (nxt == last_sym + 1) {
+        rle = c.u8();
+        sym = nxt;
+      } else {
+        sym = nxt;
+      }
+    }
+    last_sym = sym;
+  }
+  return !c.fail;
+}
+
+static void rans_tables(const uint32_t* freqs, uint32_t* cum, uint8_t* lut) {
+  cum[0] = 0;
+  for (int s = 0; s < 256; ++s) cum[s + 1] = cum[s] + freqs[s];
+  for (int s = 0; s < 256; ++s)
+    if (freqs[s])
+      for (uint32_t k = cum[s]; k < cum[s + 1] && k < 4096; ++k)
+        lut[k] = (uint8_t)s;
+}
+
+static bool rans0_decode(CCur& c, int64_t n_out, std::vector<uint8_t>& out) {
+  uint32_t freqs[256];
+  if (!rans_read_freq0(c, freqs)) return false;
+  uint32_t cum[257];
+  std::vector<uint8_t> lut(4096, 0);
+  rans_tables(freqs, cum, lut.data());
+  if (c.p + 16 > c.n) return false;
+  uint32_t st[4];
+  std::memcpy(st, c.d + c.p, 16);
+  int64_t p = c.p + 16;
+  out.resize((size_t)n_out);
+  for (int64_t i = 0; i < n_out; ++i) {
+    int j = (int)(i & 3);
+    uint32_t x = st[j];
+    uint32_t slot = x & 0xFFF;
+    uint8_t s = lut[slot];
+    out[(size_t)i] = s;
+    x = freqs[s] * (x >> 12) + slot - cum[s];
+    while (x < kRansLow && p < c.n) x = (x << 8) | c.d[p++];
+    st[j] = x;
+  }
+  return true;
+}
+
+static bool rans1_decode(CCur& c, int64_t n_out, std::vector<uint8_t>& out) {
+  // 256 contexts, each an order-0 table
+  std::vector<uint32_t> freqs(256 * 256, 0);
+  int sym_i = c.u8();
+  int rle_i = 0;
+  for (;;) {
+    if (c.fail || sym_i > 255) return false;
+    // inner table for context sym_i
+    int sym_j = c.u8();
+    int rle_j = 0;
+    for (;;) {
+      if (c.fail || sym_j > 255) return false;
+      freqs[(size_t)sym_i * 256 + sym_j] = (uint32_t)c.itf8();
+      if (rle_j > 0) {
+        rle_j -= 1;
+        sym_j += 1;
+      } else {
+        int nxt = c.u8();
+        if (c.fail) return false;
+        if (nxt == 0) break;
+        if (nxt == sym_j + 1) rle_j = c.u8();
+        sym_j = nxt;
+      }
+    }
+    if (rle_i > 0) {
+      rle_i -= 1;
+      sym_i += 1;
+    } else {
+      int nxt = c.u8();
+      if (c.fail) return false;
+      if (nxt == 0) break;
+      if (nxt == sym_i + 1) rle_i = c.u8();
+      sym_i = nxt;
+    }
+  }
+  std::vector<uint32_t> cums(256 * 257, 0);
+  std::vector<uint8_t> luts(256 * 4096, 0);
+  for (int ctx = 0; ctx < 256; ++ctx) {
+    const uint32_t* f = &freqs[(size_t)ctx * 256];
+    bool any = false;
+    for (int s = 0; s < 256; ++s)
+      if (f[s]) { any = true; break; }
+    uint32_t* cum = &cums[(size_t)ctx * 257];
+    cum[0] = 0;
+    for (int s = 0; s < 256; ++s) cum[s + 1] = cum[s] + f[s];
+    if (!any) continue;
+    uint8_t* lut = &luts[(size_t)ctx * 4096];
+    for (int s = 0; s < 256; ++s)
+      if (f[s])
+        for (uint32_t k = cum[s]; k < cum[s + 1] && k < 4096; ++k)
+          lut[k] = (uint8_t)s;
+  }
+  if (c.p + 16 > c.n) return false;
+  uint32_t st[4];
+  std::memcpy(st, c.d + c.p, 16);
+  int64_t p = c.p + 16;
+  out.resize((size_t)n_out);
+  int64_t isz4 = n_out >> 2;
+  int ctx[4] = {0, 0, 0, 0};
+  for (int64_t i = 0; i < isz4; ++i) {
+    for (int j = 0; j < 4; ++j) {
+      int64_t idx = j * isz4 + i;
+      uint32_t x = st[j];
+      uint32_t slot = x & 0xFFF;
+      uint8_t s = luts[(size_t)ctx[j] * 4096 + slot];
+      out[(size_t)idx] = s;
+      x = freqs[(size_t)ctx[j] * 256 + s] * (x >> 12) + slot -
+          cums[(size_t)ctx[j] * 257 + s];
+      while (x < kRansLow && p < c.n) x = (x << 8) | c.d[p++];
+      st[j] = x;
+      ctx[j] = s;
+    }
+  }
+  for (int64_t idx = 4 * isz4; idx < n_out; ++idx) {
+    uint32_t x = st[3];
+    uint32_t slot = x & 0xFFF;
+    uint8_t s = luts[(size_t)ctx[3] * 4096 + slot];
+    out[(size_t)idx] = s;
+    x = freqs[(size_t)ctx[3] * 256 + s] * (x >> 12) + slot -
+        cums[(size_t)ctx[3] * 257 + s];
+    while (x < kRansLow && p < c.n) x = (x << 8) | c.d[p++];
+    st[3] = x;
+    ctx[3] = s;
+  }
+  return true;
+}
+
+static bool rans4x8(const uint8_t* d, int64_t n, std::vector<uint8_t>& out) {
+  if (n < 9) return false;
+  int order = d[0];
+  uint32_t raw_size;
+  std::memcpy(&raw_size, d + 5, 4);
+  CCur c{d, n};
+  c.p = 9;
+  if (order == 0) return rans0_decode(c, raw_size, out);
+  return rans1_decode(c, raw_size, out);
+}
+
+// ---- block reader ----
+struct CBlock {
+  int content_type = -1;
+  int64_t content_id = -1;
+  std::vector<uint8_t> data;
+};
+
+// rc: 0 ok, -2 unsupported codec (python fallback), -1 corrupt
+static int read_cblock(CCur& c, CBlock& b) {
+  int method = c.u8();
+  b.content_type = c.u8();
+  b.content_id = c.itf8();
+  int64_t comp_size = c.itf8();
+  int64_t raw_size = c.itf8();
+  if (c.fail || comp_size < 0 || c.p + comp_size > c.n) return -1;
+  const uint8_t* payload = c.take(comp_size);
+  c.skip(4);  // CRC
+  if (c.fail) return -1;
+  if (method == 0) {  // RAW
+    b.data.assign(payload, payload + comp_size);
+  } else if (method == 1) {  // GZIP
+    b.data.resize((size_t)raw_size);
+#ifdef MK_HAVE_LIBDEFLATE
+    thread_local libdeflate_decompressor* dec =
+        libdeflate_alloc_decompressor();
+    size_t actual = 0;
+    if (dec == nullptr ||
+        libdeflate_gzip_decompress(dec, payload, (size_t)comp_size,
+                                   b.data.data(), (size_t)raw_size,
+                                   &actual) != LIBDEFLATE_SUCCESS ||
+        (int64_t)actual != raw_size)
+      return -1;
+#else
+    z_stream zs{};
+    if (inflateInit2(&zs, 15 + 16) != Z_OK) return -1;
+    zs.next_in = const_cast<Bytef*>(payload);
+    zs.avail_in = (uInt)comp_size;
+    zs.next_out = b.data.data();
+    zs.avail_out = (uInt)raw_size;
+    int rc = inflate(&zs, Z_FINISH);
+    inflateEnd(&zs);
+    if (rc != Z_STREAM_END) return -1;
+#endif
+  } else if (method == 4) {  // rANS 4x8
+    if (!rans4x8(payload, comp_size, b.data)) return -1;
+  } else {
+    return -2;  // bzip2 / lzma / rans-Nx16 etc: python fallback
+  }
+  if ((int64_t)b.data.size() != raw_size) return -1;
+  return 0;
+}
+
+// ---- MSB-first bit reader ----
+struct CBits {
+  const uint8_t* d = nullptr;
+  int64_t n = 0;
+  int64_t bit = 0;
+  bool fail = false;
+  uint32_t read(int k) {
+    uint32_t v = 0;
+    for (int i = 0; i < k; ++i) {
+      int64_t byte = bit >> 3;
+      if (byte >= n) { fail = true; return v; }
+      v = (v << 1) | ((d[byte] >> (7 - (bit & 7))) & 1);
+      ++bit;
+    }
+    return v;
+  }
+};
+
+// ---- encodings ----
+struct CReader {
+  int kind = 0;  // 1 external, 3 huffman, 4 byte_array_len, 5 stop, 6 beta
+  CCur* ext = nullptr;       // external / stop share per-content-id cursors
+  // huffman
+  std::vector<int64_t> alphabet;
+  std::vector<std::pair<uint64_t, int64_t>> codes;  // (len<<32|code) -> sym
+  // beta
+  int64_t offset = 0;
+  int length = 0;
+  // byte_array_len
+  std::unique_ptr<CReader> len_r, val_r;
+  // stop
+  int stop = 0;
+  CBits* core = nullptr;
+  bool fail = false;
+
+  int64_t read_int() {
+    switch (kind) {
+      case 1:
+        if (ext == nullptr) { fail = true; return 0; }
+        return ext->itf8();
+      case 3: {
+        if (codes.empty()) return alphabet.empty() ? (fail = true, 0) : alphabet[0];
+        uint32_t code = 0;
+        for (int L = 1; L <= 31; ++L) {
+          code = (code << 1) | core->read(1);
+          uint64_t key = ((uint64_t)L << 32) | code;
+          for (auto& kv : codes)
+            if (kv.first == key) return kv.second;
+          if (core->fail) break;
+        }
+        fail = true;
+        return 0;
+      }
+      case 6: return (int64_t)core->read(length) - offset;
+      default: fail = true; return 0;
+    }
+  }
+  int read_byte() {
+    if (kind == 1) {
+      if (ext == nullptr) { fail = true; return 0; }
+      return ext->u8();
+    }
+    return (int)read_int();
+  }
+  bool read_bytes(std::vector<uint8_t>& out) {
+    out.clear();
+    if (kind == 4) {
+      if (!len_r || !val_r) return false;
+      int64_t k = len_r->read_int();
+      if (k < 0 || len_r->fail) return false;
+      if (val_r->kind == 1) {
+        if (val_r->ext == nullptr) return false;
+        if (val_r->ext->p + k > val_r->ext->n) return false;
+        const uint8_t* p = val_r->ext->take(k);
+        out.assign(p, p + k);
+      } else {
+        out.reserve((size_t)k);
+        for (int64_t i = 0; i < k; ++i) out.push_back((uint8_t)val_r->read_byte());
+      }
+      return !val_r->fail;
+    }
+    if (kind == 5) {
+      if (ext == nullptr) return false;
+      CCur* c = ext;
+      int64_t q = c->p;
+      while (q < c->n && c->d[q] != stop) ++q;
+      if (q >= c->n) return false;
+      out.assign(c->d + c->p, c->d + q);
+      c->p = q + 1;
+      return true;
+    }
+    return false;
+  }
+};
+
+struct CEncoding {
+  int codec = -1;
+  std::vector<uint8_t> params;
+};
+
+static bool parse_encoding(CCur& c, CEncoding& e) {
+  e.codec = (int)c.itf8();
+  int64_t k = c.itf8();
+  if (c.fail || k < 0 || c.p + k > c.n) return false;
+  const uint8_t* p = c.take(k);
+  e.params.assign(p, p + k);
+  return true;
+}
+
+// instantiate a reader; external cursors resolved via map
+static bool make_reader(const CEncoding& e,
+                        std::map<int64_t, CCur>& external, CBits* core,
+                        CReader& r) {
+  CCur p{e.params.data(), (int64_t)e.params.size()};
+  r.core = core;
+  if (e.codec == 1) {
+    r.kind = 1;
+    int64_t cid = p.itf8();
+    auto it = external.find(cid);
+    if (it == external.end()) return false;
+    r.ext = &it->second;
+    return !p.fail;
+  }
+  if (e.codec == 3) {
+    r.kind = 3;
+    r.alphabet = p.array_itf8();
+    std::vector<int64_t> lengths = p.array_itf8();
+    if (p.fail || lengths.size() != r.alphabet.size()) return false;
+    if (r.alphabet.size() <= 1) return true;  // constant
+    // canonical assignment ordered by (length, symbol value)
+    std::vector<size_t> order(r.alphabet.size());
+    for (size_t i = 0; i < order.size(); ++i) order[i] = i;
+    std::sort(order.begin(), order.end(), [&](size_t a, size_t b) {
+      if (lengths[a] != lengths[b]) return lengths[a] < lengths[b];
+      return r.alphabet[a] < r.alphabet[b];
+    });
+    uint32_t code = 0;
+    int64_t prev_len = 0;
+    for (size_t i : order) {
+      int64_t L = lengths[i];
+      code <<= (L - prev_len);
+      prev_len = L;
+      r.codes.emplace_back(((uint64_t)L << 32) | code, r.alphabet[i]);
+      code += 1;
+    }
+    return true;
+  }
+  if (e.codec == 4) {
+    r.kind = 4;
+    CEncoding le, ve;
+    if (!parse_encoding(p, le) || !parse_encoding(p, ve)) return false;
+    r.len_r = std::make_unique<CReader>();
+    r.val_r = std::make_unique<CReader>();
+    return make_reader(le, external, core, *r.len_r) &&
+           make_reader(ve, external, core, *r.val_r);
+  }
+  if (e.codec == 5) {
+    r.kind = 5;
+    r.stop = p.u8();
+    int64_t cid = p.itf8();
+    auto it = external.find(cid);
+    if (it == external.end()) return false;
+    r.ext = &it->second;
+    return !p.fail;
+  }
+  if (e.codec == 6) {
+    r.kind = 6;
+    r.offset = p.itf8();
+    r.length = (int)p.itf8();
+    return !p.fail;
+  }
+  return false;
+}
+
+// ---- compression header ----
+struct CompHdr {
+  bool rn_included = true, ap_delta = true, ref_required = true;
+  uint8_t sub_matrix[5] = {0, 0, 0, 0, 0};
+  // tag dict: lines of (tag2, type) triples
+  std::vector<std::vector<std::array<char, 3>>> tag_dict;
+  std::map<uint32_t, CEncoding> series;  // key = tag2 chars
+  std::map<int64_t, CEncoding> tag_enc;
+  char sub_code[5][4];  // [ref base ACGTN][code] -> substituted base
+
+  bool parse(const std::vector<uint8_t>& data) {
+    CCur c{data.data(), (int64_t)data.size()};
+    tag_dict.push_back({});
+    c.itf8();  // size
+    int64_t n = c.itf8();
+    for (int64_t i = 0; i < n; ++i) {
+      if (c.p + 2 > c.n) return false;
+      char k0 = (char)c.u8(), k1 = (char)c.u8();
+      if (k0 == 'R' && k1 == 'N') rn_included = c.u8() != 0;
+      else if (k0 == 'A' && k1 == 'P') ap_delta = c.u8() != 0;
+      else if (k0 == 'R' && k1 == 'R') ref_required = c.u8() != 0;
+      else if (k0 == 'S' && k1 == 'M') {
+        if (c.p + 5 > c.n) return false;
+        std::memcpy(sub_matrix, c.take(5), 5);
+      } else if (k0 == 'T' && k1 == 'D') {
+        int64_t bl = c.itf8();
+        if (c.fail || c.p + bl > c.n) return false;
+        const uint8_t* blob = c.take(bl);
+        tag_dict.clear();
+        // '\0'-separated lines; a trailing '\0' does not add a line
+        int64_t s = 0;
+        for (int64_t q = 0; q <= bl; ++q) {
+          if (q == bl && s == q) break;
+          if (q == bl || blob[q] == 0) {
+            std::vector<std::array<char, 3>> line;
+            for (int64_t t = s; t + 2 < q + 1 && t + 2 <= q - 0; t += 3) {
+              if (t + 3 > q) break;
+              line.push_back({(char)blob[t], (char)blob[t + 1],
+                              (char)blob[t + 2]});
+            }
+            tag_dict.push_back(std::move(line));
+            s = q + 1;
+            if (q == bl) break;
+          }
+        }
+      } else {
+        return false;
+      }
+    }
+    if (c.fail) return false;
+    c.itf8();  // size
+    n = c.itf8();
+    for (int64_t i = 0; i < n; ++i) {
+      if (c.p + 2 > c.n) return false;
+      uint32_t key = ((uint32_t)c.u8() << 8) | c.u8();
+      CEncoding e;
+      if (!parse_encoding(c, e)) return false;
+      series[key] = std::move(e);
+    }
+    c.itf8();  // size
+    n = c.itf8();
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t key = c.itf8();
+      CEncoding e;
+      if (!parse_encoding(c, e)) return false;
+      tag_enc[key] = std::move(e);
+    }
+    if (c.fail) return false;
+    // substitution matrix: per ref base, 2-bit codes for the other 4
+    // bases in alphabetical order, highest bits first
+    const char* bases = "ACGTN";
+    for (int r_i = 0; r_i < 5; ++r_i) {
+      char others[4];
+      int oi = 0;
+      for (int b = 0; b < 5; ++b)
+        if (b != r_i) others[oi++] = bases[b];
+      uint8_t byte = sub_matrix[r_i];
+      for (int j = 0; j < 4; ++j)
+        sub_code[r_i][(byte >> (6 - 2 * j)) & 3] = others[j];
+    }
+    return true;
+  }
+};
+
+static int base5(char b) {
+  switch (b) {
+    case 'A': return 0; case 'C': return 1; case 'G': return 2;
+    case 'T': return 3; default: return 4;
+  }
+}
+
+// BAM reg2bin
+static int reg2bin_c(int64_t beg, int64_t end) {
+  --end;
+  if (beg >> 14 == end >> 14) return (int)(((1 << 15) - 1) / 7 + (beg >> 14));
+  if (beg >> 17 == end >> 17) return (int)(((1 << 12) - 1) / 7 + (beg >> 17));
+  if (beg >> 20 == end >> 20) return (int)(((1 << 9) - 1) / 7 + (beg >> 20));
+  if (beg >> 23 == end >> 23) return (int)(((1 << 6) - 1) / 7 + (beg >> 23));
+  if (beg >> 26 == end >> 26) return (int)(((1 << 3) - 1) / 7 + (beg >> 26));
+  return 0;
+}
+
+struct DecRec {
+  std::vector<uint8_t> name;
+  int64_t flag = 0, ref_id = -1, pos = -1, mapq = 0;
+  std::vector<std::pair<int, int64_t>> cigar;  // (op, len)
+  int64_t mate_ref = -1, mate_pos = -1, tlen = 0;
+  std::vector<uint8_t> seq, quals, aux;
+  int64_t nf = -1;
+};
+
+static int64_t ref_len_of(const std::vector<std::pair<int, int64_t>>& cig) {
+  int64_t s = 0;
+  for (auto& c : cig)
+    if (c.first == 0 || c.first == 2 || c.first == 3 || c.first == 7 ||
+        c.first == 8)
+      s += c.second;
+  return s;
+}
+
+}  // namespace cram
+
+namespace cram {
+
+struct NibTab {
+  int8_t v[256];
+  NibTab() {
+    for (int i = 0; i < 256; ++i) v[i] = 15;
+    const char* order = "=ACMGRSVTWYHKDBN";
+    for (int i = 0; i < 16; ++i) v[(uint8_t)order[i]] = (int8_t)i;
+  }
+};
+static const NibTab NIB;
+
+static void encode_bam(const DecRec& f, std::string& out) {
+  int64_t l_seq = (int64_t)f.seq.size();
+  int64_t rec_start = (int64_t)out.size();
+  out.append(4, '\0');
+  int64_t end = f.pos;
+  for (auto& c : f.cigar)
+    if (c.first == 0 || c.first == 2 || c.first == 3 || c.first == 7 ||
+        c.first == 8)
+      end += c.second;
+  if (end < f.pos + 1) end = f.pos + 1;
+  int32_t i32;
+  uint16_t u16;
+  i32 = (int32_t)f.ref_id; out.append((char*)&i32, 4);
+  i32 = (int32_t)f.pos; out.append((char*)&i32, 4);
+  out.push_back((char)(uint8_t)(f.name.size() + 1));
+  out.push_back((char)(uint8_t)f.mapq);
+  u16 = (uint16_t)reg2bin_c(f.pos, end); out.append((char*)&u16, 2);
+  u16 = (uint16_t)f.cigar.size(); out.append((char*)&u16, 2);
+  u16 = (uint16_t)f.flag; out.append((char*)&u16, 2);
+  i32 = (int32_t)l_seq; out.append((char*)&i32, 4);
+  i32 = (int32_t)f.mate_ref; out.append((char*)&i32, 4);
+  i32 = (int32_t)f.mate_pos; out.append((char*)&i32, 4);
+  i32 = (int32_t)f.tlen; out.append((char*)&i32, 4);
+  out.append((const char*)f.name.data(), f.name.size());
+  out.push_back('\0');
+  for (auto& c : f.cigar) {
+    uint32_t v = ((uint32_t)c.second << 4) | (uint32_t)c.first;
+    out.append((char*)&v, 4);
+  }
+  // 4-bit packed sequence
+  size_t nib_start = out.size();
+  out.append((size_t)((l_seq + 1) / 2), '\0');
+  for (int64_t i = 0; i < l_seq; ++i) {
+    uint8_t code = (uint8_t)NIB.v[f.seq[(size_t)i]];
+    char& slot = out[nib_start + (size_t)(i >> 1)];
+    if (i & 1) slot = (char)((uint8_t)slot | code);
+    else slot = (char)(code << 4);
+  }
+  if ((int64_t)f.quals.size() == l_seq)
+    out.append((const char*)f.quals.data(), f.quals.size());
+  else
+    out.append((size_t)l_seq, '\xff');
+  out.append((const char*)f.aux.data(), f.aux.size());
+  int32_t rec_len = (int32_t)(out.size() - rec_start - 4);
+  std::memcpy(&out[(size_t)rec_start], &rec_len, 4);
+}
+
+}  // namespace cram
+
+// Decode ONE CRAM container (at `off` in the file bytes) into a blob of
+// <i32 len><raw BAM record> items. `ref`/`ref_len` is the container's
+// reference sequence (uppercased by the caller), or NULL when absent.
+// rg_blob: '\n'-joined read-group IDs. rc: 0 ok; 1 python-fallback
+// (unsupported codec/layout); 2 corrupt.
+int32_t mk_cram_decode_container(
+    const uint8_t* data, int64_t data_len, int64_t off, const char* ref,
+    int64_t ref_len, const char* rg_blob, int64_t rg_blob_len,
+    uint8_t** out_blob, int64_t* out_blob_len, int32_t* out_n) {
+  using namespace cram;
+  *out_blob = nullptr;
+  *out_blob_len = 0;
+  *out_n = 0;
+  std::vector<std::string> rg_ids;
+  {
+    int64_t s = 0;
+    for (int64_t q = 0; q <= rg_blob_len; ++q) {
+      if (q == rg_blob_len || rg_blob[q] == '\n') {
+        if (q > s) rg_ids.emplace_back(rg_blob + s, rg_blob + q);
+        s = q + 1;
+      }
+    }
+  }
+  CCur c{data, data_len};
+  c.p = off;
+  if (c.p + 4 > c.n) return 2;
+  int32_t length;
+  std::memcpy(&length, data + c.p, 4);
+  c.p += 4;
+  int64_t cont_ref = c.itf8();
+  c.itf8();  // start
+  c.itf8();  // span
+  int64_t nrec = c.itf8();
+  c.ltf8();  // record counter
+  c.ltf8();  // bases
+  int64_t nblocks = c.itf8();
+  c.array_itf8();  // landmarks
+  c.skip(4);       // crc
+  if (c.fail) return 2;
+  if (nrec == 0) return 0;
+  if (cont_ref == -2) return 1;  // multi-ref container: python fallback
+  std::vector<CBlock> blocks((size_t)nblocks);
+  for (int64_t i = 0; i < nblocks; ++i) {
+    int rc = read_cblock(c, blocks[(size_t)i]);
+    if (rc == -2) return 1;
+    if (rc != 0) return 2;
+  }
+  CompHdr comp;
+  if (blocks.empty() || !comp.parse(blocks[0].data)) return 2;
+
+  std::string out;
+  int32_t n_out = 0;
+
+  // slice loop: slice header blocks are content type 2
+  size_t bi = 1;
+  while (bi < blocks.size()) {
+    if (blocks[bi].content_type != 2) {
+      ++bi;
+      continue;
+    }
+    // ---- slice header ----
+    CCur sh{blocks[bi].data.data(), (int64_t)blocks[bi].data.size()};
+    int64_t s_ref = sh.itf8();
+    int64_t s_start = sh.itf8();
+    sh.itf8();  // span
+    int64_t s_nrec = sh.itf8();
+    sh.ltf8();  // record counter
+    int64_t s_nblocks = sh.itf8();
+    sh.array_itf8();  // content ids
+    int64_t embedded_ref_id = sh.itf8();
+    if (sh.fail) return 2;
+    if (s_ref == -2) return 1;
+
+    CBits core;
+    std::map<int64_t, CCur> external;
+    const uint8_t* sref = (const uint8_t*)ref;
+    int64_t sref_len = ref_len;
+    int64_t ref_offset = 0;
+    for (size_t k = bi + 1; k < blocks.size() && k <= bi + (size_t)s_nblocks;
+         ++k) {
+      CBlock& b = blocks[k];
+      if (b.content_type == 5) {  // core
+        core.d = b.data.data();
+        core.n = (int64_t)b.data.size();
+      } else if (b.content_type == 4) {  // external
+        external.emplace(
+            b.content_id,
+            CCur{b.data.data(), (int64_t)b.data.size()});
+        if (embedded_ref_id >= 0 && b.content_id == embedded_ref_id) {
+          sref = b.data.data();
+          sref_len = (int64_t)b.data.size();
+          ref_offset = s_start - 1;
+        }
+      }
+    }
+    if (sref == (const uint8_t*)ref && !(s_ref >= 0 && comp.ref_required))
+      if (embedded_ref_id < 0 && s_ref < 0) { sref = nullptr; sref_len = 0; }
+
+    auto ref_base = [&](int64_t rpos0) -> char {
+      int64_t i = rpos0 - ref_offset;
+      if (sref != nullptr && i >= 0 && i < sref_len) {
+        char ch = (char)sref[i];
+        if (ch >= 'a' && ch <= 'z') ch -= 32;
+        return ch;
+      }
+      return 'N';
+    };
+
+    // per-series readers, created lazily
+    std::map<uint32_t, CReader> readers;
+    std::map<int64_t, CReader> tag_readers;
+    bool rfail = false;
+    auto R = [&](const char* key2) -> CReader& {
+      uint32_t key = ((uint32_t)(uint8_t)key2[0] << 8) | (uint8_t)key2[1];
+      auto it = readers.find(key);
+      if (it != readers.end()) return it->second;
+      CReader& r = readers[key];
+      auto se = comp.series.find(key);
+      if (se == comp.series.end() ||
+          !make_reader(se->second, external, &core, r))
+        rfail = true;
+      return r;
+    };
+    auto TR = [&](int64_t key) -> CReader& {
+      auto it = tag_readers.find(key);
+      if (it != tag_readers.end()) return it->second;
+      CReader& r = tag_readers[key];
+      auto te = comp.tag_enc.find(key);
+      if (te == comp.tag_enc.end() ||
+          !make_reader(te->second, external, &core, r))
+        rfail = true;
+      return r;
+    };
+
+    std::vector<DecRec> frecs;
+    frecs.reserve((size_t)s_nrec);
+    int64_t last_pos = s_start - 1;
+    std::vector<uint8_t> tmp;
+    for (int64_t ri = 0; ri < s_nrec; ++ri) {
+      DecRec f;
+      int64_t bf = R("BF").read_int();
+      int64_t cf = R("CF").read_int();
+      int64_t rid = (s_ref == -2) ? R("RI").read_int() : s_ref;
+      int64_t rl = R("RL").read_int();
+      int64_t ap = R("AP").read_int();
+      int64_t pos0;
+      if (comp.ap_delta) {
+        pos0 = last_pos + ap;
+        last_pos = pos0;
+      } else {
+        pos0 = ap - 1;
+      }
+      int64_t rg = R("RG").read_int();
+      if (comp.rn_included) {
+        if (!R("RN").read_bytes(f.name)) rfail = true;
+      }
+      int64_t mate_ref = -1, mate_pos = -1, tlen = 0;
+      if (cf & 0x2) {  // detached
+        int64_t mf = R("MF").read_int();
+        if (!comp.rn_included)
+          if (!R("RN").read_bytes(f.name)) rfail = true;
+        mate_ref = R("NS").read_int();
+        mate_pos = R("NP").read_int() - 1;
+        tlen = R("TS").read_int();
+        if (mf & 1) bf |= 0x20;
+        if (mf & 2) bf |= 0x8;
+      } else if (cf & 0x4) {
+        f.nf = R("NF").read_int();
+      }
+      int64_t tl = R("TL").read_int();
+      if (rfail || tl < 0 || tl >= (int64_t)comp.tag_dict.size()) return 1;
+      for (auto& td : comp.tag_dict[(size_t)tl]) {
+        int64_t key = ((int64_t)(uint8_t)td[0] << 16) |
+                      ((int64_t)(uint8_t)td[1] << 8) | (uint8_t)td[2];
+        if (!TR(key).read_bytes(tmp)) rfail = true;
+        f.aux.push_back((uint8_t)td[0]);
+        f.aux.push_back((uint8_t)td[1]);
+        f.aux.push_back((uint8_t)td[2]);
+        f.aux.insert(f.aux.end(), tmp.begin(), tmp.end());
+      }
+      if (rg >= 0 && rg < (int64_t)rg_ids.size()) {
+        const std::string& rgid = rg_ids[(size_t)rg];
+        f.aux.push_back('R');
+        f.aux.push_back('G');
+        f.aux.push_back('Z');
+        f.aux.insert(f.aux.end(), rgid.begin(), rgid.end());
+        f.aux.push_back(0);
+      }
+      f.quals.assign((size_t)rl, 0xFF);
+      int64_t mq = 0;
+      if (!(bf & 4)) {  // mapped
+        f.seq.assign((size_t)rl, 0);
+        int64_t fn = R("FN").read_int();
+        int64_t qpos = 0, rpos = pos0, fpos = 0;
+        auto emit = [&](int op, int64_t len) {
+          if (len <= 0) return;
+          if (!f.cigar.empty() && f.cigar.back().first == op)
+            f.cigar.back().second += len;
+          else
+            f.cigar.emplace_back(op, len);
+        };
+        auto advance_match = [&](int64_t n) {
+          if (n <= 0) return;
+          for (int64_t k = 0; k < n; ++k)
+            f.seq[(size_t)(qpos + k)] = (uint8_t)ref_base(rpos + k);
+          emit(0, n);
+          qpos += n;
+          rpos += n;
+        };
+        for (int64_t fi = 0; fi < fn && !rfail; ++fi) {
+          int fc = R("FC").read_byte();
+          fpos += R("FP").read_int();
+          advance_match(fpos - 1 - qpos);
+          if (qpos < 0 || qpos > rl) return 2;
+          switch (fc) {
+            case 'B':
+              if (qpos >= rl) return 2;
+              f.seq[(size_t)qpos] = (uint8_t)R("BA").read_byte();
+              f.quals[(size_t)qpos] = (uint8_t)R("QS").read_byte();
+              emit(0, 1);
+              ++qpos;
+              ++rpos;
+              break;
+            case 'X': {
+              if (qpos >= rl) return 2;
+              int64_t code = R("BS").read_int();
+              f.seq[(size_t)qpos] = (uint8_t)
+                  comp.sub_code[base5(ref_base(rpos))][code & 3];
+              emit(0, 1);
+              ++qpos;
+              ++rpos;
+              break;
+            }
+            case 'I': {
+              if (!R("IN").read_bytes(tmp)) { rfail = true; break; }
+              if (qpos + (int64_t)tmp.size() > rl) return 2;
+              std::copy(tmp.begin(), tmp.end(), f.seq.begin() + qpos);
+              emit(1, (int64_t)tmp.size());
+              qpos += (int64_t)tmp.size();
+              break;
+            }
+            case 'i':
+              if (qpos >= rl) return 2;
+              f.seq[(size_t)qpos] = (uint8_t)R("BA").read_byte();
+              emit(1, 1);
+              ++qpos;
+              break;
+            case 'S': {
+              if (!R("SC").read_bytes(tmp)) { rfail = true; break; }
+              if (qpos + (int64_t)tmp.size() > rl) return 2;
+              std::copy(tmp.begin(), tmp.end(), f.seq.begin() + qpos);
+              emit(4, (int64_t)tmp.size());
+              qpos += (int64_t)tmp.size();
+              break;
+            }
+            case 'D':
+              { int64_t dl = R("DL").read_int(); emit(2, dl); rpos += dl; }
+              break;
+            case 'N':
+              { int64_t rs = R("RS").read_int(); emit(3, rs); rpos += rs; }
+              break;
+            case 'P': emit(6, R("PD").read_int()); break;
+            case 'H': emit(5, R("HC").read_int()); break;
+            case 'Q':
+              if (qpos >= rl) return 2;
+              f.quals[(size_t)qpos] = (uint8_t)R("QS").read_byte();
+              break;
+            case 'b': {
+              if (!R("BB").read_bytes(tmp)) { rfail = true; break; }
+              if (qpos + (int64_t)tmp.size() > rl) return 2;
+              std::copy(tmp.begin(), tmp.end(), f.seq.begin() + qpos);
+              emit(0, (int64_t)tmp.size());
+              qpos += (int64_t)tmp.size();
+              rpos += (int64_t)tmp.size();
+              break;
+            }
+            case 'q': {
+              if (!R("QQ").read_bytes(tmp)) { rfail = true; break; }
+              if (qpos + (int64_t)tmp.size() > rl) return 2;
+              std::copy(tmp.begin(), tmp.end(), f.quals.begin() + qpos);
+              break;
+            }
+            default:
+              return 1;  // unknown feature: python fallback
+          }
+        }
+        if (rfail) return 1;
+        advance_match(rl - qpos);
+        if (f.cigar.empty() && rl > 0) f.cigar.emplace_back(0, rl);
+        // regenerate NM/MD when derivable and not stored
+        bool has_nm = false, has_md = false;
+        for (auto& td : comp.tag_dict[(size_t)tl]) {
+          if (td[0] == 'N' && td[1] == 'M') has_nm = true;
+          if (td[0] == 'M' && td[1] == 'D') has_md = true;
+        }
+        if (sref != nullptr && !(has_nm && has_md)) {
+          std::string md;
+          int64_t nm = 0, match_run = 0, q2 = 0, r2 = pos0;
+          char buf[24];
+          for (auto& cg : f.cigar) {
+            int op = cg.first;
+            int64_t ln = cg.second;
+            if (op == 0 || op == 7 || op == 8) {
+              for (int64_t k = 0; k < ln; ++k) {
+                char rb = ref_base(r2 + k);
+                if ((char)f.seq[(size_t)(q2 + k)] == rb) {
+                  ++match_run;
+                } else {
+                  char* e = put_u_ex(buf, match_run);
+                  md.append(buf, e - buf);
+                  md.push_back(rb);
+                  match_run = 0;
+                  ++nm;
+                }
+              }
+              q2 += ln;
+              r2 += ln;
+            } else if (op == 1) {
+              nm += ln;
+              q2 += ln;
+            } else if (op == 4) {
+              q2 += ln;
+            } else if (op == 2) {
+              char* e = put_u_ex(buf, match_run);
+              md.append(buf, e - buf);
+              match_run = 0;
+              md.push_back('^');
+              for (int64_t k = 0; k < ln; ++k) md.push_back(ref_base(r2 + k));
+              nm += ln;
+              r2 += ln;
+            } else if (op == 3) {
+              r2 += ln;
+            }
+          }
+          char* e = put_u_ex(buf, match_run);
+          md.append(buf, e - buf);
+          if (!has_nm) {
+            if (nm < 256) {
+              f.aux.push_back('N'); f.aux.push_back('M');
+              f.aux.push_back('C'); f.aux.push_back((uint8_t)nm);
+            } else if (nm < 65536) {
+              uint16_t v = (uint16_t)nm;
+              f.aux.push_back('N'); f.aux.push_back('M');
+              f.aux.push_back('S');
+              f.aux.insert(f.aux.end(), (uint8_t*)&v, (uint8_t*)&v + 2);
+            } else {
+              uint32_t v = (uint32_t)nm;
+              f.aux.push_back('N'); f.aux.push_back('M');
+              f.aux.push_back('I');
+              f.aux.insert(f.aux.end(), (uint8_t*)&v, (uint8_t*)&v + 4);
+            }
+          }
+          if (!has_md) {
+            f.aux.push_back('M'); f.aux.push_back('D');
+            f.aux.push_back('Z');
+            f.aux.insert(f.aux.end(), md.begin(), md.end());
+            f.aux.push_back(0);
+          }
+        }
+        mq = R("MQ").read_int();
+        if (cf & 0x1) {
+          CReader& q = R("QS");
+          for (int64_t k = 0; k < rl; ++k)
+            f.quals[(size_t)k] = (uint8_t)q.read_byte();
+        }
+      } else {  // unmapped
+        mq = 0;
+        CReader& ba = R("BA");
+        f.seq.resize((size_t)rl);
+        for (int64_t k = 0; k < rl; ++k)
+          f.seq[(size_t)k] = (uint8_t)ba.read_byte();
+        if (cf & 0x1) {
+          CReader& q = R("QS");
+          for (int64_t k = 0; k < rl; ++k)
+            f.quals[(size_t)k] = (uint8_t)q.read_byte();
+        }
+        if (s_ref == -1) pos0 = -1;
+      }
+      if (rfail || core.fail) return 1;
+      f.flag = bf;
+      f.ref_id = rid;
+      f.pos = pos0;
+      f.mapq = (bf & 4) ? 0 : mq;
+      f.mate_ref = mate_ref;
+      f.mate_pos = mate_pos;
+      f.tlen = tlen;
+      frecs.push_back(std::move(f));
+    }
+
+    // resolve downstream mates (CF bit 0x4)
+    for (size_t i = 0; i < frecs.size(); ++i) {
+      DecRec& f = frecs[i];
+      if (f.nf < 0) continue;
+      size_t j = i + (size_t)f.nf + 1;
+      if (j >= frecs.size()) return 2;
+      DecRec& m = frecs[j];
+      f.mate_ref = m.ref_id;
+      f.mate_pos = m.pos;
+      m.mate_ref = f.ref_id;
+      m.mate_pos = f.pos;
+      if (m.flag & 0x10) f.flag |= 0x20;
+      if (f.flag & 0x10) m.flag |= 0x20;
+      if (m.flag & 0x4) f.flag |= 0x8;
+      if (f.flag & 0x4) m.flag |= 0x8;
+      int64_t lo = std::min(f.pos, m.pos);
+      int64_t hi = std::max(f.pos + ref_len_of(f.cigar),
+                            m.pos + ref_len_of(m.cigar));
+      if (f.pos <= m.pos) {
+        f.tlen = hi - lo;
+        m.tlen = lo - hi;
+      } else {
+        f.tlen = lo - hi;
+        m.tlen = hi - lo;
+      }
+    }
+    for (auto& f : frecs) {
+      encode_bam(f, out);
+      ++n_out;
+    }
+    bi += 1 + (size_t)s_nblocks;
+  }
+  (void)cont_ref;
+  *out_blob = (uint8_t*)std::malloc(out.size() ? out.size() : 1);
+  std::memcpy(*out_blob, out.data(), out.size());
+  *out_blob_len = (int64_t)out.size();
+  *out_n = n_out;
+  return 0;
+}
+
 
 // staged decode micro-bench (perf tooling is absent in this image):
 // stage 0 = scan_aux, 1 = +forward_seq, 2 = +parse_mm_tag,

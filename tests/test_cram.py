@@ -182,3 +182,34 @@ def test_crai_write_roundtrip(resources, tmp_path):
     out = str(tmp_path / "x.crai")
     write_crai(entries, out)
     assert read_crai(out) == entries
+
+
+def test_native_cram_decode_byte_equal(resources):
+    """The native container decoder (mk_cram_decode_container) reproduces
+    the Python SliceDecoder byte-for-byte on every fixture CRAM,
+    including unmapped containers and rANS/gzip/raw block codecs."""
+    from modkit_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    ref = os.path.join(resources, REF)
+    for name in (
+        "bc_anchored_10_reads.sorted.cram",
+        "bc_anchored_10_reads_unmapped.sorted.cram",
+        "bc_anchored_10_reads_unmapped.cram",
+    ):
+        path = os.path.join(resources, name)
+        r_nat = CramReader(path, ref)
+        nat = [rec.raw() for rec in r_nat._decode_all()]
+        r_py = CramReader(path, ref)
+        import modkit_tpu.native as _n
+
+        orig = _n.cram_decode_container
+        _n.cram_decode_container = lambda *a, **k: None
+        try:
+            py = [rec.raw() for rec in r_py._decode_all()]
+        finally:
+            _n.cram_decode_container = orig
+        assert len(nat) == len(py), name
+        assert nat == py, name
+        assert len(nat) > 0
