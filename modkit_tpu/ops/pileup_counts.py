@@ -82,22 +82,33 @@ def threshold_states(probs, base_idx, thr_mod, thr_can):
     """
     m = probs.shape[1]
     present = probs >= 0
-    thr_e = thr_mod.T[base_idx]  # [N, M]
     canon_p = jnp.float32(1.0) - jnp.sum(
         jnp.where(present, probs, 0.0), axis=1
     )
     n = probs.shape[0]
+
+    def thr_for(row):
+        # 4-entry table -> per-event via selects: indexing a table with
+        # base_idx lowers to a TPU gather, which dominated the whole
+        # device count pipeline (~16 ms / 4 Mevent vs ~4 ms of matmuls)
+        t = jnp.full((n,), row[0], jnp.float32)
+        for b in (1, 2, 3):
+            t = jnp.where(base_idx == b, row[b], t)
+        return t
+
     best_p = jnp.full((n,), -jnp.inf, probs.dtype)
     best_j = jnp.zeros((n,), jnp.int32)
     any_mod = jnp.zeros((n,), bool)
     for j in range(m):
-        pass_j = present[:, j] & (probs[:, j] >= thr_e[:, j])
+        pass_j = present[:, j] & (
+            probs[:, j] >= thr_for([thr_mod[j, b] for b in range(4)])
+        )
         mp = jnp.where(pass_j, probs[:, j], -jnp.inf)
         take = mp >= best_p  # later equal class wins ties
         best_p = jnp.where(take, mp, best_p)
         best_j = jnp.where(take, j, best_j)
         any_mod = any_mod | pass_j
-    pass_can = canon_p >= thr_can[base_idx]
+    pass_can = canon_p >= thr_for([thr_can[b] for b in range(4)])
     choose_can = pass_can & ((~any_mod) | (canon_p >= best_p))
     state = jnp.where(
         choose_can,

@@ -2629,7 +2629,6 @@ static void extract_read_rows(
       (r.flag == 0 || r.flag == 16 || r.flag == 4);
   int ksz = opts.kmer_size;
   int kbefore = (ksz % 2 == 0) ? ksz / 2 - 1 : ksz / 2;
-  int kafter = ksz / 2;
 
   // calls mode: observed codes per base across the read's emitted rows,
   // sorted by mod-code order (calls_rows codes_per_base)
