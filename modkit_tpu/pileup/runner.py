@@ -342,7 +342,9 @@ def run_pileup(cfg: PileupConfig) -> dict:
         if cfg.partition_tags:
             write_partitioned(chrom, proc.finish_tile(pend))
             return
-        if isinstance(writer, BedMethylWriter):
+        if isinstance(pend, (FormattedRows, ColumnarRows, list)):
+            res = pend  # already finished on the worker
+        elif isinstance(writer, BedMethylWriter):
             res = proc.finish_tile(pend, chrom=chrom, space=writer.space)
         else:
             res = proc.finish_tile(pend)
@@ -426,11 +428,25 @@ def run_pileup(cfg: PileupConfig) -> dict:
             r = tls.reader = BamReader(cfg.in_bam)
         return r
 
+    # workers run the whole tile (launch + finish: decode, device
+    # dispatch, count assembly, row FORMATTING) so the main thread only
+    # writes ordered output — formatting was serializing on the main
+    # thread behind the fast native decode (round-4 profile: ~0.8 s of
+    # finish + 0.5 s of file write per 2.2 s run). Partition mode keeps
+    # finishing on the main thread (the partition writer fan-out isn't
+    # thread-safe).
+    finish_in_worker = not cfg.partition_tags
+
     def launch(tile):
         tid, chrom, start, end, focus = tile
         if focus is not None and not (focus.rule >= 0).any():
             return None
-        return proc.launch_tile(tile_reader(), tid, start, end, focus)
+        pend = proc.launch_tile(tile_reader(), tid, start, end, focus)
+        if not finish_in_worker or pend is None:
+            return pend
+        if isinstance(writer, BedMethylWriter):
+            return proc.finish_tile(pend, chrom=chrom, space=writer.space)
+        return proc.finish_tile(pend)
 
     def finish_one(item):
         meta, fut = item
