@@ -189,7 +189,6 @@ def calls_rows(
     caller: ThresholdCaller,
     ref_seqs: dict | None,
     pass_only: bool = False,
-    skip_inferred: bool = False,
     keep=None,
 ) -> list[str]:
     """One thresholded call per (position, mod strand, base)
@@ -229,8 +228,6 @@ def calls_rows(
         call = caller.call(base, probs)
         filtered = call[0] == "filtered"
         if filtered and pass_only:
-            continue
-        if inferred and skip_inferred:
             continue
         # argmax call for the reported prob/code
         canon = np.float32(1.0) - np.float32(sum(probs.values()))

@@ -1432,3 +1432,17 @@ def cram_decode_container(
         recs.append(raw[p + 4 : p + 4 + n])
         p += 4 + n
     return recs
+
+
+def bench_decode(rec: bytes, reps: int = 2000, stage: int = 4) -> float:
+    """Staged single-thread decode micro-bench (native mk_bench_decode):
+    stage 0 scan_aux, 1 +forward_seq, 2 +parse_mm_tag,
+    3 +decode_read_mods, 4 full decode_read. Returns reads/s."""
+    lib = load()
+    if lib is None:
+        return 0.0
+    lib.mk_bench_decode.restype = ctypes.c_double
+    lib.mk_bench_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+    ]
+    return float(lib.mk_bench_decode(rec, len(rec), reps, stage))
