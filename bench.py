@@ -276,8 +276,23 @@ def main():
 
     est_wall = min(time_default(i) for i in range(reps))
     # forced-device: the chip does the threshold+count stage regardless of
-    # the link, so the device path is measured every round
-    time_pileup("dwarm", "always")
+    # the link, so the device path is measured every round. The dwarm wall
+    # INCLUDES waiting out the background shape prewarm so the runs that
+    # follow are not contended by in-flight compiles.
+    os.environ["MODKIT_TPU_OFFLOAD"] = "always"
+    t0 = time.perf_counter()
+    res = run_pileup(
+        PileupConfig(
+            in_bam=bam, out=os.path.join(tmp, "dwarm.bed"),
+            no_filtering=True, use_device=True, suppress_progress=True,
+        )
+    )
+    assert res["rows"] > 0
+    from modkit_tpu.ops.pileup_counts import wait_for_prewarm
+
+    wait_for_prewarm()
+    _note(f"pileup dwarm (always, incl. prewarm): "
+          f"{time.perf_counter() - t0:.1f}s")
     best_forced = min(
         time_pileup(f"d{i}", "always") for i in range(dev_reps)
     )

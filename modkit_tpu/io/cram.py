@@ -1088,6 +1088,8 @@ class CramReader:
         recs = self._container_cache.get(offset)
         if recs is not None:
             return recs
+        if len(self._container_cache) > 64:
+            self._container_cache.clear()  # bound region-fetch memory
         raws = self._native_decode_container(offset)
         if raws is not None:
             recs = [BamRecord(r) for r in raws]

@@ -409,7 +409,16 @@ def run_pileup_counts(
 
 
 _PREWARMED: set = set()
+_PREWARM_THREADS: list = []
 _PREWARM_LOCK = None
+
+
+def wait_for_prewarm() -> None:
+    """Block until every background shape compile has finished (bench
+    hygiene: measurements taken right after warm-up would otherwise
+    contend with in-flight compiles)."""
+    for t in list(_PREWARM_THREADS):
+        t.join()
 
 
 def prewarm_state_kernels(kind: str, m_pad: int) -> None:
@@ -471,6 +480,7 @@ def prewarm_state_kernels(kind: str, m_pad: int) -> None:
             target=compile_bucket, args=(nb,), daemon=True
         )
         t.start()
+        _PREWARM_THREADS.append(t)
 
 
 def counts_layout(num_codes: int) -> dict:
