@@ -37,12 +37,14 @@ STRAND_NEG = 1
 def _columns_alphabet(sequences: list[str], window_size: int) -> list[str]:
     """Per-column sorted alphabet of non-'*' symbols
     (methylation_entropy.rs:15-49 AlphabetInfo)."""
-    cols = [set() for _ in range(window_size)]
-    for seq in sequences:
-        for i, c in enumerate(seq):
-            if c != "*":
-                cols[i].add(c)
-    return ["".join(sorted(c)) for c in cols]
+    s = np.frombuffer("".join(sequences).encode(), dtype=np.uint8)
+    s = s.reshape(len(sequences), window_size)
+    return [
+        "".join(
+            chr(c) for c in np.unique(s[:, i]).tolist() if c != ord("*")
+        )
+        for i in range(window_size)
+    ]
 
 
 def _matches(seq: str, pattern: str) -> bool:
@@ -78,21 +80,40 @@ def all_patterns_dp(
 def calc_me_entropy(
     sequences: list[str], window_size: int, constant: float
 ) -> np.float32:
-    """methylation_entropy.rs:142-199 (f32 arithmetic)."""
+    """methylation_entropy.rs:142-199 (f32 arithmetic).
+
+    Vectorized wildcard matching (the per-seq x per-pattern char loop was
+    an entropy hot spot); the f32 accumulation orders of the scalar
+    dict-based loop are preserved exactly — counts add in sequence order,
+    and the total/shannon sums visit patterns in first-hit insertion
+    order."""
     columns = _columns_alphabet(sequences, window_size)
     patterns = all_patterns_dp(sequences, window_size, columns)
-    counts: dict[str, np.float32] = {}
-    for seq in sequences:
-        hits = [p for p in patterns if _matches(seq, p)]
-        factor = np.float32(1.0) / np.float32(len(hits))
-        for p in hits:
-            counts[p] = counts.get(p, np.float32(0.0)) + factor
+    s_arr = np.frombuffer("".join(sequences).encode(), dtype=np.uint8)
+    s_arr = s_arr.reshape(len(sequences), window_size)
+    p_arr = np.frombuffer("".join(patterns).encode(), dtype=np.uint8)
+    p_arr = p_arr.reshape(len(patterns), window_size)
+    match = (
+        (s_arr[:, None, :] == p_arr[None, :, :])
+        | (s_arr[:, None, :] == ord("*"))
+    ).all(axis=2)  # [n_seq, n_pat]
+    factor = np.float32(1.0) / match.sum(axis=1).astype(np.float32)
+    counts = np.zeros(len(patterns), dtype=np.float32)
+    for i in range(len(sequences)):
+        counts[match[i]] += factor[i]
+    hit_any = match.any(axis=0)
+    # dict insertion order = first sequence that hits, then pattern order
+    first_seq = np.where(hit_any, match.argmax(axis=0), len(sequences))
+    order = np.lexsort((np.arange(len(patterns)), first_seq))
     total = np.float32(0.0)
-    for v in counts.values():
-        total = total + v
+    for pi in order.tolist():
+        if hit_any[pi]:
+            total = total + counts[pi]
     shannon = np.float32(0.0)
-    for v in counts.values():
-        p = v / total
+    for pi in order.tolist():
+        if not hit_any[pi]:
+            continue
+        p = counts[pi] / total
         shannon = shannon + p * np.float32(np.log2(p))
     me = np.float32(constant) * (-shannon)
     if me == np.float32(-0.0):
@@ -136,7 +157,17 @@ class EntropyWindow:
         return len(self.neg_positions)
 
     def interval(self, strand: str):
-        """(start, end) of min/max positions for the strand, or None."""
+        """(start, end) of min/max positions for the strand, or None
+        (memoized: computed once per window, queried per read)."""
+        cache = getattr(self, "_iv_cache", None)
+        if cache is None:
+            cache = self._iv_cache = {}
+        if strand in cache:
+            return cache[strand]
+        cache[strand] = iv = self._interval(strand)
+        return iv
+
+    def _interval(self, strand: str):
         if self.combine:
             ps = [p for (_, p) in self.neg_to_pos] + [
                 p for (_, p) in self.neg_to_pos.values()
@@ -406,16 +437,9 @@ def read_mod_calls(rec, caller: ThresholdCaller):
 
     info = decode_record(rec)
     qf, rp = rec.aligned_pairs_forward()
-    ref_map = dict(zip(qf.tolist(), rp.tolist()))
-    entries = []
-    strands = set()
-    for base, strand, g in info.iter_groups():
-        codes = list(g.codes)
-        strands.add(strand)
-        for i in range(len(g.positions)):
-            entries.append(
-                (int(g.positions[i]), base, codes, g.probs[i], bool(g.inferred[i]))
-            )
+    order = np.argsort(qf, kind="stable")
+    qf_s, rp_s = qf[order], rp[order]
+    strands = {st for _b, st, _g in info.iter_groups()}
     if len(strands) > 1:
         # parity with the reference, which also skips duplex reads here
         # (entropy/mod.rs:1535 debug!("duplex not yet supported"))
@@ -425,33 +449,107 @@ def read_mod_calls(rec, caller: ThresholdCaller):
         return None
     # union of codes per base across the read (PositionModCalls semantics)
     codes_per_base: dict[str, list] = {}
-    for _qpos, base, codes, prob_row, _inf in entries:
+    for base, _strand, g in info.iter_groups():
         s = codes_per_base.setdefault(base, [])
-        for j, c in enumerate(codes):
-            if prob_row[j] >= 0 and c not in s:
+        present_any = (g.probs >= 0).any(axis=0)
+        for j, c in enumerate(g.codes):
+            if present_any[j] and c not in s:
                 s.append(c)
     for b in codes_per_base:
         codes_per_base[b] = sorted(codes_per_base[b], key=mod_code_sort_key)
     mod_calls = {}
-    for qpos, base, codes, prob_row, inferred in entries:
-        ref_pos = ref_map.get(qpos, -1)
-        if ref_pos < 0:
-            continue
+    for base, _strand, g in info.iter_groups():
         union = codes_per_base.get(base, [])
-        probs = {}
-        if inferred:
-            for c in union:
-                probs[c] = np.float32(0.0)
-        else:
-            for j, c in enumerate(codes):
-                if prob_row[j] >= 0:
-                    probs[c] = np.float32(prob_row[j])
-            for c in union:
-                if c not in probs:
-                    probs[c] = np.float32(0.0)
-        mod_calls[(base, ref_pos)] = caller.call(base, probs)
+        mod_calls.update(
+            _group_calls(base, g, union, qf_s, rp_s, caller)
+        )
     strand = "-" if rec.is_reverse else "+"
     return mod_calls, rec.pos, rec.reference_end(), strand
+
+
+def _group_calls(base, g, union, qf_s, rp_s, caller):
+    """Vectorized MultipleThresholdModCaller::call over one group's
+    positions (the scalar caller.call per position was the entropy hot
+    loop: ~10 us/call x 2 M calls). Candidate/tie ordering matches the
+    scalar path exactly: explicit rows offer the group's present codes in
+    group order then union leftovers at 0.0; inferred rows offer the
+    union at 0.0 (all inferred rows of a base share one call)."""
+    positions, probs, inferred = g.positions, g.probs, g.inferred
+    n, m = probs.shape
+    out = {}
+    if n == 0:
+        return out
+    # sorted-array intersection instead of a per-read 5k-entry dict
+    idx = np.searchsorted(qf_s, positions)
+    inb = idx < len(qf_s)
+    idxc = np.clip(idx, 0, max(len(qf_s) - 1, 0))
+    aligned = inb & (qf_s[idxc] == positions)
+    ref_pos = np.where(aligned, rp_s[idxc], -1)
+    # one shared scalar call covers every inferred row of the base
+    inf_rows = inferred & aligned
+    if inf_rows.any():
+        call0 = caller.call(
+            base, {c: np.float32(0.0) for c in union}
+        )
+        for rp in ref_pos[inf_rows].tolist():
+            out[(base, rp)] = call0
+    exp_rows = (~inferred) & aligned
+    if not exp_rows.any():
+        return out
+    present = probs >= 0
+    if not bool(present[exp_rows].all()):
+        # rare multi-subtag rows with absent classes: scalar fallback
+        # preserves the per-row candidate dict order
+        for i in np.flatnonzero(exp_rows).tolist():
+            pd = {}
+            for j, c in enumerate(g.codes):
+                if probs[i, j] >= 0:
+                    pd[c] = np.float32(probs[i, j])
+            for c in union:
+                if c not in pd:
+                    pd[c] = np.float32(0.0)
+            out[(base, int(ref_pos[i]))] = caller.call(base, pd)
+        return out
+    rows = np.flatnonzero(exp_rows)
+    pv = probs[rows]  # [k, m] all present
+    cols = list(g.codes) + [c for c in union if c not in g.codes]
+    thr = np.asarray(
+        [caller.mod_threshold(c, base) for c in cols], dtype=np.float32
+    )
+    vals = (
+        np.concatenate(
+            [pv, np.zeros((len(rows), len(cols) - m), np.float32)], axis=1
+        )
+        if len(cols) > m
+        else pv
+    )
+    canon = np.float32(1.0) - pv.sum(axis=1, dtype=np.float32)
+    best = np.full(len(rows), -np.inf, dtype=np.float32)
+    best_j = np.zeros(len(rows), dtype=np.int64)
+    any_mod = np.zeros(len(rows), dtype=bool)
+    for j in range(len(cols)):
+        pass_j = vals[:, j] >= thr[j]
+        mp = np.where(pass_j, vals[:, j], -np.inf)
+        take = pass_j & (mp >= best)  # later candidate wins ties
+        best = np.where(take, mp, best)
+        best_j = np.where(take, j, best_j)
+        any_mod |= pass_j
+    pass_can = canon >= np.float32(caller.canonical_threshold(base))
+    choose_can = pass_can & ((~any_mod) | (canon >= best))
+    rp_l = ref_pos[rows].tolist()
+    cc_l = choose_can.tolist()
+    am_l = any_mod.tolist()
+    cn_l = canon.tolist()
+    bp_l = best.tolist()
+    bj_l = best_j.tolist()
+    for k in range(len(rows)):
+        if cc_l[k]:
+            out[(base, rp_l[k])] = ("canonical", cn_l[k])
+        elif am_l[k]:
+            out[(base, rp_l[k])] = ("mod", bp_l[k], cols[bj_l[k]])
+        else:
+            out[(base, rp_l[k])] = ("filtered",)
+    return out
 
 
 # --------------------------------------------------------------- driver ----

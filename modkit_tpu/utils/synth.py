@@ -62,8 +62,10 @@ def make_synthetic_modbam(
     coverage: float = 30.0,
     seed: int = 0,
     mods=("m", "h"),
+    fasta_out: str | None = None,
 ) -> dict:
-    """Write a sorted+indexed modBAM; returns summary stats."""
+    """Write a sorted+indexed modBAM (and optionally the reference FASTA
+    the reads were drawn from); returns summary stats."""
     rng = np.random.default_rng(seed)
     if contig_len is None:
         contig_len = max(int(n_reads * read_len / coverage), read_len + 1)
@@ -71,6 +73,12 @@ def make_synthetic_modbam(
     genome = rng.choice(
         np.frombuffer(b"ACGT", dtype=np.uint8), size=contig_len
     )
+    if fasta_out is not None:
+        with open(fasta_out, "w") as fh:
+            fh.write(">synth1\n")
+            text = genome.tobytes().decode()
+            for i in range(0, len(text), 80):
+                fh.write(text[i : i + 80] + "\n")
     starts = np.sort(
         rng.integers(0, contig_len - read_len, size=n_reads)
     )
