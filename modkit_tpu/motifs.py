@@ -62,12 +62,25 @@ class Motif:
         return len(self.raw) - self.offset - 1
 
     def classes(self) -> list[frozenset]:
-        return [frozenset(IUPAC[c]) for c in self.raw]
+        # memoized: per-window motif scans call this hundreds of
+        # thousands of times (entropy sliding windows)
+        c = getattr(self, "_classes", None)
+        if c is None:
+            c = [frozenset(IUPAC[ch]) for ch in self.raw]
+            object.__setattr__(self, "_classes", c)
+        return c
+
+    def _rev_classes(self) -> list:
+        r = getattr(self, "_revc", None)
+        if r is None:
+            r = _revcomp_classes(self.classes())
+            object.__setattr__(self, "_revc", r)
+        return r
 
     @property
     def is_palindrome(self) -> bool:
         """Motif equal to its own reverse complement (motif_bed.rs:225)."""
-        return self.classes() == _revcomp_classes(self.classes())
+        return self.classes() == self._rev_classes()
 
     def negative_strand_position(self, positive_position: int) -> int | None:
         """Partner '-' strand focus position for a '+' hit (motif_bed.rs:126)."""
@@ -103,7 +116,7 @@ class Motif:
         sorted by position.
         """
         fwd = self.classes()
-        rev = _revcomp_classes(fwd)
+        rev = self._rev_classes()
         out: list[tuple[int, int]] = []
         if self.is_palindrome:
             for s in self._match_starts(seq, fwd):
