@@ -399,6 +399,31 @@ Group merge_pieces(char base, int strand, std::vector<Piece>& plist) {
     return g;
   }
 
+  // common nanopore layout: two sub-tags (e.g. C+h, C+m) over IDENTICAL
+  // positions — the union is either list and the probs interleave
+  // column-wise with no merge walk at all
+  if (plist.size() == 2 && plist[0].pos == plist[1].pos &&
+      plist[0].codes.size() == 1 && plist[1].codes.size() == 1 &&
+      plist[0].inferred == plist[1].inferred && m == 2) {
+    const Piece& a = plist[0];
+    const Piece& b = plist[1];
+    size_t n2 = a.pos.size();
+    g.pos = a.pos;
+    g.inferred.assign(n2, a.inferred ? 1 : 0);
+    g.probs.resize(n2 * 2);
+    size_t ca = (g.codes[0] == a.codes[0]) ? 0 : 1;
+    for (size_t i = 0; i < n2; ++i) {
+      float pa = a.probs[i];
+      float pb = b.probs[i];
+      g.probs[i * 2 + ca] = pa;
+      g.probs[i * 2 + (1 - ca)] = pb;
+      // shared-position sum check (combine_checked, mod_bam.rs:626)
+      float sum = (pa > 0.0f ? pa : 0.0f) + (pb > 0.0f ? pb : 0.0f);
+      if (sum > kMaxProb) throw MkError{E_CONFLICT_GT1};
+    }
+    return g;
+  }
+
   // piece position lists are individually sorted (delta lists are
   // cumulative), so the union is a linear k-way merge — the previous
   // concat+sort was ~40% of decode_read_mods on 5 kb reads
