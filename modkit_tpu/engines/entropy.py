@@ -320,35 +320,49 @@ def sliding_windows(
     window_size: int,
 ):
     """Yield EntropyWindows over one contig/region subsequence
-    (entropy/mod.rs:1054-1181 next_window)."""
-    motif_search_adj = max(
-        (m.length for m in motifs if m.length > 1), default=0
-    )
+    (entropy/mod.rs:1054-1181 next_window).
+
+    Motif hits precompute ONCE per contig (the per-window 50 bp rescans
+    were an entropy hot spot); each window slices the sorted hit list
+    with bisect. Per-window membership matches the original rescan
+    exactly: focus in [curr, end) AND the motif fits before ``end`` (a
+    motif straddling the window end was not matched by the sub-sequence
+    scan)."""
+    from bisect import bisect_left
+
+    all_hits = []  # (focus_contig_pos, neg_position, strand, base, fit_end)
+    for motif in motifs:
+        for pos, strand in motif.find_hits(seq):
+            genome_pos = pos + contig_start
+            base = chr(seq[pos])
+            if strand == STRAND_NEG:
+                base = _COMPLEMENT[base]
+                motif_start = pos - motif.reverse_offset
+            else:
+                motif_start = pos - motif.forward_offset
+            neg_position = None
+            if strand == STRAND_POS:
+                neg_position = motif.negative_strand_position(genome_pos)
+            all_hits.append(
+                (
+                    genome_pos, neg_position, strand, base,
+                    motif_start + motif.length,
+                )
+            )
+    all_hits.sort(key=lambda h: h[0])
+    hit_keys = [h[0] - contig_start for h in all_hits]
 
     def find_hits_from(curr: int):
         end = min(curr + window_size, len(seq))
-        sub_start = max(curr - motif_search_adj, 0)
-        offset = curr - sub_start
-        sub = seq[sub_start:end]
         pos_hits, neg_hits = [], []
-        all_hits = []
-        for motif in motifs:
-            for pos, strand in motif.find_hits(sub):
-                if pos < offset:
-                    continue
-                rel = pos - offset
-                genome_pos = rel + curr + contig_start
-                base = chr(seq[rel + curr])
-                if strand == STRAND_NEG:
-                    base = _COMPLEMENT[base]
-                neg_position = None
-                if strand == STRAND_POS:
-                    np_ = motif.negative_strand_position(genome_pos)
-                    neg_position = np_
-                all_hits.append((genome_pos, neg_position, strand, base))
-        all_hits.sort(key=lambda h: h[0])
-        for h in all_hits:
-            (pos_hits if h[2] == STRAND_POS else neg_hits).append(h)
+        i = bisect_left(hit_keys, curr)
+        while i < len(all_hits) and hit_keys[i] < end:
+            h = all_hits[i]
+            if h[4] <= end:  # motif fully inside the window scan range
+                (pos_hits if h[2] == STRAND_POS else neg_hits).append(
+                    h[:4]
+                )
+            i += 1
         return pos_hits, neg_hits, end
 
     curr = _find_start_position(seq, motifs)
