@@ -87,9 +87,29 @@ def calc_me_entropy(
     dict-based loop are preserved exactly — counts add in sequence order,
     and the total/shannon sums visit patterns in first-hit insertion
     order."""
+    joined = "".join(sequences)
+    if "*" not in joined:
+        # no wildcards: each sequence matches exactly itself — plain
+        # counting in first-occurrence order (the dict insertion order of
+        # the scalar path)
+        counts: dict = {}
+        one = np.float32(1.0)
+        for seq in sequences:
+            counts[seq] = counts.get(seq, np.float32(0.0)) + one
+        total = np.float32(0.0)
+        for v in counts.values():
+            total = total + v
+        shannon = np.float32(0.0)
+        for v in counts.values():
+            p = v / total
+            shannon = shannon + p * np.float32(np.log2(p))
+        me = np.float32(constant) * (-shannon)
+        if me == np.float32(-0.0):
+            return np.float32(0.0)
+        return me
     columns = _columns_alphabet(sequences, window_size)
     patterns = all_patterns_dp(sequences, window_size, columns)
-    s_arr = np.frombuffer("".join(sequences).encode(), dtype=np.uint8)
+    s_arr = np.frombuffer(joined.encode(), dtype=np.uint8)
     s_arr = s_arr.reshape(len(sequences), window_size)
     p_arr = np.frombuffer("".join(patterns).encode(), dtype=np.uint8)
     p_arr = p_arr.reshape(len(patterns), window_size)
