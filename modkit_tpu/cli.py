@@ -13,8 +13,12 @@ import sys
 
 
 def _add_common_sampling(p):
-    p.add_argument("-n", "--num-reads", type=int, default=10042)
-    p.add_argument("-f", "--sampling-frac", type=float, default=None)
+    # `--sample-num-reads` is extract's long name for -n in the reference
+    # (extract/subcommand.rs:426); accept it everywhere as an alias.
+    p.add_argument("-n", "--num-reads", "--sample-num-reads",
+                   dest="num_reads", type=int, default=10042)
+    p.add_argument("-f", "--sampling-frac", "--sample-frac",
+                   dest="sampling_frac", type=float, default=None)
     p.add_argument("--no-sampling", action="store_true")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument(
@@ -79,6 +83,13 @@ def build_parser() -> argparse.ArgumentParser:
         prog="modkit-tpu",
         description="TPU-native modified-base analysis (bedMethyl pileup and "
         "friends), capability-compatible with modkit",
+    )
+    from . import __version__
+
+    # -V/--version at the top level (reference: clap's built-in, main.rs)
+    ap.add_argument(
+        "-V", "--version", action="version",
+        version=f"mod_kit-tpu {__version__}",
     )
     sub = ap.add_subparsers(dest="command", required=True)
 
@@ -255,6 +266,10 @@ def build_parser() -> argparse.ArgumentParser:
     q = dsub.add_parser("pair", help="compare a pair of samples")
     q.add_argument("-a", action="append", default=[], dest="a")
     q.add_argument("-b", action="append", default=[], dest="b")
+    q.add_argument("--index-a", action="append", default=[], dest="index_a",
+                   help="explicit tabix index for the -a bedMethyl(s)")
+    q.add_argument("--index-b", action="append", default=[], dest="index_b",
+                   help="explicit tabix index for the -b bedMethyl(s)")
     q.add_argument("-o", "--out-path", default=None)
     q.add_argument("--header", "--with-header", action="store_true")
     q.add_argument("-r", "--regions", "--regions-bed", default=None,

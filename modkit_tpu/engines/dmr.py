@@ -126,9 +126,21 @@ class SampleIndex:
         code_lookup: dict[ModCode, str],
         min_valid_coverage: int = 0,
         io_threads: int | None = None,
+        index_paths: list[str | None] | None = None,
     ):
+        # index_paths: explicit .tbi paths per sample (the reference's
+        # --index-a/--index-b, advanced_usage.md:2280-2285); None entries
+        # fall back to <path>.tbi
+        if index_paths is None:
+            index_paths = [None] * len(paths)
+        if len(index_paths) != len(paths):
+            raise SystemExit(
+                "number of explicit tabix indices must match the number of "
+                "bedMethyl files"
+            )
         self.handlers = [
-            TabixFile(p, io_threads=io_threads) for p in paths
+            TabixFile(p, io_threads=io_threads, index_path=ip)
+            for p, ip in zip(paths, index_paths)
         ]
         self.code_lookup = code_lookup
         self.min_valid_coverage = min_valid_coverage
@@ -375,6 +387,20 @@ def run_pair_regions(
     return successes, failures
 
 
+def explicit_index_paths(args) -> list[str | None]:
+    """--index-a/--index-b explicit tabix indices, one per -a/-b sample
+    (advanced_usage.md:2280-2285)."""
+    idx_a = list(getattr(args, "index_a", None) or [])
+    idx_b = list(getattr(args, "index_b", None) or [])
+    if idx_a and len(idx_a) != len(args.a):
+        raise SystemExit("--index-a must be given once per -a sample")
+    if idx_b and len(idx_b) != len(args.b):
+        raise SystemExit("--index-b must be given once per -b sample")
+    return (idx_a or [None] * len(args.a)) + (
+        idx_b or [None] * len(args.b)
+    )
+
+
 def run_pair(args) -> int:
     """CLI entry for `dmr pair` (dmr/subcommands.rs:373-548)."""
     if not args.a or not args.b:
@@ -394,9 +420,10 @@ def run_pair(args) -> int:
             "in order to perform multiple comparisons over regions use "
             "modkit dmr multi"
         )
+    index_paths = explicit_index_paths(args)
     sample_index = SampleIndex(
         list(args.a) + list(args.b), code_lookup, args.min_valid_coverage,
-        io_threads=args.io_threads,
+        io_threads=args.io_threads, index_paths=index_paths,
     )
     genome_positions = GenomePositions(
         list(args.base),

@@ -395,9 +395,11 @@ def run_single_site(args, code_lookup) -> int:
     (dmr/subcommands.rs:457-491)."""
     import os
 
+    from .dmr import explicit_index_paths
+
     sample_index = SampleIndex(
         list(args.a) + list(args.b), code_lookup, args.min_valid_coverage,
-        io_threads=args.io_threads,
+        io_threads=args.io_threads, index_paths=explicit_index_paths(args),
     )
     a_idxs = list(range(len(args.a)))
     b_idxs = [i + len(args.a) for i in range(len(args.b))]

@@ -314,7 +314,7 @@ class EntropyWindow:
                     calc_me_entropy(enc, window_size, constant),
                     len(enc),
                 )
-            out.append(("+", iv[0], iv[1] + 1, res))
+            out.append(("+", iv[0], iv[1], res))
         if not self.combine and self.neg_positions is not None:
             iv = self.interval("-")
             enc = self._encode(
@@ -327,7 +327,7 @@ class EntropyWindow:
                     calc_me_entropy(enc, window_size, constant),
                     len(enc),
                 )
-            out.append(("-", iv[0], iv[1] + 1, res))
+            out.append(("-", iv[0], iv[1], res))
         return out
 
 

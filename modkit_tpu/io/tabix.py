@@ -91,9 +91,12 @@ class TabixFile:
     """Region fetch over a bgzipped, tabix-indexed text file
     (tabix.rs:77 HtsTabixHandler)."""
 
-    def __init__(self, path: str, io_threads: int | None = None):
+    def __init__(self, path: str, io_threads: int | None = None,
+                 index_path: str | None = None):
         self.path = os.fspath(path)
-        idx_path = self.path + ".tbi"
+        # Explicit index path = the reference's dmr --index-a/--index-b
+        # (advanced_usage.md:2280: "or the --index-a option must be provided")
+        idx_path = os.fspath(index_path) if index_path else self.path + ".tbi"
         if not os.path.exists(idx_path):
             raise FileNotFoundError(f"no tabix index for {path}")
         self.index = TabixIndex(idx_path)

@@ -94,6 +94,58 @@ def test_dmr_pair_regression(tmp_path, synthetic_chr20_fa):
     _compare_dmr(out.read_text(), f"{RES}/test_output_chr20-2.bed")
 
 
+def test_dmr_pair_explicit_index(tmp_path, synthetic_chr20_fa):
+    """--index-a/--index-b point at relocated .tbi files so the index need
+    not sit next to the bedMethyl (advanced_usage.md:2280-2285)."""
+    import shutil
+
+    from modkit_tpu.cli import main
+
+    # bedMethyls without a sibling .tbi; indexes live elsewhere
+    data = tmp_path / "data"
+    idxd = tmp_path / "indexes"
+    data.mkdir(); idxd.mkdir()
+    a_bm = data / "a.bed.gz"
+    b_bm = data / "b.bed.gz"
+    shutil.copy(A_BM, a_bm)
+    shutil.copy(B_BM, b_bm)
+    a_idx = idxd / "a_index.tbi"
+    b_idx = idxd / "b_index.tbi"
+    shutil.copy(A_BM + ".tbi", a_idx)
+    shutil.copy(B_BM + ".tbi", b_idx)
+
+    out = tmp_path / "dmr_out.bed"
+    rc = main(
+        [
+            "dmr", "pair",
+            "-a", str(a_bm),
+            "-b", str(b_bm),
+            "--index-a", str(a_idx),
+            "--index-b", str(b_idx),
+            "-o", str(out),
+            "-r", f"{RES}/cpg_chr20_with_orig_names_selection.bed",
+            "--ref", synthetic_chr20_fa,
+            "-f",
+            "--base", "C",
+        ]
+    )
+    assert rc == 0
+    _compare_dmr(out.read_text(), f"{RES}/test_output_chr20-2.bed")
+
+    # without the explicit index the same invocation must fail loudly
+    import pytest as _pytest
+    with _pytest.raises((SystemExit, FileNotFoundError)):
+        main(
+            [
+                "dmr", "pair",
+                "-a", str(a_bm), "-b", str(b_bm),
+                "-o", str(tmp_path / "x.bed"),
+                "-r", f"{RES}/cpg_chr20_with_orig_names_selection.bed",
+                "--ref", synthetic_chr20_fa, "-f", "--base", "C",
+            ]
+        )
+
+
 def test_dmr_multi(tmp_path, synthetic_chr20_fa):
     """dmr multi with two named samples produces one pairwise BED matching
     the pair output."""

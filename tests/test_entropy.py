@@ -93,15 +93,36 @@ def test_entropy_regions_regression(tmp_path):
     assert (r[10], r[11], r[12], r[13]) == ("10", "10", "2", "0")
     win_rows = [w.split("\t") for w in windows.rstrip("\n").split("\n")]
     assert len(win_rows) == 2
-    # CpG C-positions 63,69,72,90,93: first window {63,69,72,90} spans to
-    # the G at 91 (+1 exclusive = 92); second {69,72,90,93} to 94 (+1 = 95)
+    # CpG C-positions 63,69,72,90,93: window coordinates are the min..max
+    # focus positions with end = max (entropy/mod.rs:78-84 MinMax range,
+    # writers.rs:37-38 emits interval.end verbatim) — these match the
+    # reference's expected_entropy_windows.bed coordinates exactly
     assert [(w[0], w[1], w[2], w[4], w[5]) for w in win_rows] == [
-        ("oligo_1512_adapters", "63", "92", "+", "10"),
-        ("oligo_1512_adapters", "69", "95", "+", "10"),
+        ("oligo_1512_adapters", "63", "91", "+", "10"),
+        ("oligo_1512_adapters", "69", "94", "+", "10"),
     ]
-    # the second window's entropy is threshold-insensitive on this input
-    # and matches the reference golden to f32 precision
-    assert float(win_rows[1][3]) == pytest.approx(0.5430143, abs=1e-6)
+    golden = [
+        l.split("\t")
+        for l in open(f"{RES}/expected_entropy_windows.bed")
+        .read().rstrip("\n").split("\n")
+    ]
+    # coordinates/strand/num_reads columns must equal the golden exactly
+    assert [(w[0], w[1], w[2], w[4], w[5]) for w in win_rows] == [
+        (g[0], g[1], g[2], g[4], g[5]) for g in golden
+    ]
+    # Window scores: window 2 matches the golden to f32 precision. Window 1
+    # is 0.5480229 here vs 0.60664743 in the golden — the golden predates
+    # the current reference algorithm (its own byte-diff is disabled in
+    # tests/test_entropy.rs as stale): 0.60664743 is bit-exactly what the
+    # same window-1 epialleles produce when '*' wildcards expand over the
+    # whole-window alphabet, while the current source restricts each column
+    # to its observed characters (methylation_entropy.rs:16-48
+    # AlphabetInfo::from_sequences). An independent transcription of the
+    # current source (regex DP + f32 accumulation) reproduces our values
+    # bit-for-bit, and no 1-edit perturbation of the window-1 epialleles
+    # reaches the golden value under the current algorithm. See BASELINE.md.
+    assert float(win_rows[0][3]) == pytest.approx(0.5480229, abs=1e-6)
+    assert float(win_rows[1][3]) == pytest.approx(float(golden[1][3]), abs=1e-7)
     # region mean = mean of window entropies
     es = [float(w[3]) for w in win_rows]
     assert float(r[4]) == pytest.approx(np.mean(es), abs=1e-6)
