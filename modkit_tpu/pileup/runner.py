@@ -173,8 +173,6 @@ def run_pileup(cfg: PileupConfig) -> dict:
                 raise ValueError(
                     f"partition tag {t!r} is not a 2-character SAM tag"
                 )
-        if cfg.journal is not None:
-            raise ValueError("--journal is not supported with --partition-tag")
 
     opts = PileupOptions(
         combine_mods=cfg.combine_mods,
@@ -191,18 +189,45 @@ def run_pileup(cfg: PileupConfig) -> dict:
     motif_labels = [m.label() for m in motifs] if motifs else []
     completed_tiles: dict = {}
     journal_fh = None
+    multi_file_out = bool(cfg.bedgraph or cfg.partition_tags)
+    resume_sizes: dict = {}
     if cfg.journal is not None:
         import json as _json
 
-        if cfg.out in ("-", "stdout") or cfg.bedgraph:
+        if cfg.out in ("-", "stdout"):
             raise ValueError(
-                "--journal requires a bedMethyl file output path"
+                "--journal requires a file or directory output path"
             )
         if os.path.exists(cfg.journal):
+            last_rec = None
             for line in open(cfg.journal):
                 if line.strip():
                     rec = _json.loads(line)
                     completed_tiles[(rec["tid"], rec["start"])] = rec
+                    last_rec = rec
+            if multi_file_out and last_rec is not None:
+                # multi-file outputs (bedgraph / partition-tag dirs): the
+                # last journal line's {filename: size} map is cumulative
+                # over every file written so far. Truncate each to its
+                # recorded size; a file present on disk but absent from
+                # the record was created mid-tile after the last completed
+                # tile — reset it to empty so its rows re-emit.
+                sizes = last_rec["out_sizes"]
+                resume_sizes.update(sizes)
+                known = set(sizes)
+                for fname, size in sizes.items():
+                    fp = os.path.join(cfg.out, fname)
+                    if os.path.exists(fp):
+                        with open(fp, "r+") as fh:
+                            fh.truncate(size)
+                if os.path.isdir(cfg.out):
+                    suffix = ".bedgraph" if cfg.bedgraph else ".bed"
+                    for fname in os.listdir(cfg.out):
+                        if fname.endswith(suffix) and fname not in known:
+                            with open(
+                                os.path.join(cfg.out, fname), "r+"
+                            ) as fh:
+                                fh.truncate(0)
         journal_fh = open(cfg.journal, "a")
 
     # multi-host: after jax.distributed init each process owns tiles where
@@ -238,11 +263,13 @@ def run_pileup(cfg: PileupConfig) -> dict:
 
     if cfg.bedgraph:
         writer = BedGraphWriter(
-            cfg.out, cfg.prefix, partitioned=bool(cfg.partition_tags)
+            cfg.out, cfg.prefix, partitioned=bool(cfg.partition_tags),
+            append=bool(completed_tiles),
         )
     elif cfg.partition_tags:
         writer = PartitioningBedMethylWriter(
-            cfg.out, cfg.prefix, cfg.mixed_delimiters
+            cfg.out, cfg.prefix, cfg.mixed_delimiters,
+            append=bool(completed_tiles),
         )
     elif cfg.out in ("-", "stdout"):
         writer = BedMethylWriter(sys.stdout, cfg.mixed_delimiters, cfg.with_header)
@@ -336,11 +363,28 @@ def run_pileup(cfg: PileupConfig) -> dict:
                     w.write_rows(chrom, rows, motif_labels)
                     n_rows += len(rows)
 
+    def write_journal_record(tid, start, end):
+        if journal_fh is None:
+            return
+        import json as _json
+
+        rec = {"tid": tid, "start": start, "end": end}
+        if multi_file_out:
+            # files carried over from a resumed run keep their recorded
+            # size until re-opened this run
+            rec["out_sizes"] = {**resume_sizes, **writer.sizes()}
+        else:
+            writer.flush()
+            rec["out_size"] = writer.tell()
+        journal_fh.write(_json.dumps(rec) + "\n")
+        journal_fh.flush()
+
     def finish_and_write(inflight):
         nonlocal n_rows
         chrom, tid, start, end, pend = inflight
         if cfg.partition_tags:
             write_partitioned(chrom, proc.finish_tile(pend))
+            write_journal_record(tid, start, end)
             return
         if isinstance(pend, (FormattedRows, ColumnarRows, list)):
             res = pend  # already finished on the worker
@@ -358,22 +402,7 @@ def run_pileup(cfg: PileupConfig) -> dict:
             for _pos, rows in res:
                 writer.write_rows(chrom, rows, motif_labels)
                 n_rows += len(rows)
-        if journal_fh is not None:
-            import json as _json
-
-            writer.flush()
-            journal_fh.write(
-                _json.dumps(
-                    {
-                        "tid": tid,
-                        "start": start,
-                        "end": end,
-                        "out_size": writer.tell(),
-                    }
-                )
-                + "\n"
-            )
-            journal_fh.flush()
+        write_journal_record(tid, start, end)
 
     ticker = ProgressTicker(
         "processing genome tiles:", suppress=cfg.suppress_progress

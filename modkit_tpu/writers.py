@@ -91,16 +91,17 @@ def format_percent(fraction: float) -> str:
 
 
 class BedMethylWriter:
-    def __init__(self, out, mixed_delimiters: bool = False, with_header: bool = False):
+    def __init__(self, out, mixed_delimiters: bool = False,
+                 with_header: bool = False, append: bool = False):
         if isinstance(out, (str, os.PathLike)):
-            self._fh = open(out, "w")
+            self._fh = open(out, "a" if append else "w")
             self._owns = True
         else:
             self._fh = out
             self._owns = False
         self.space = " " if mixed_delimiters else "\t"
         self.rows_written = 0
-        if with_header:
+        if with_header and not append:
             self._fh.write("\t".join(HEADER_FIELDS) + "\n")
 
     def flush(self):
@@ -197,12 +198,15 @@ class BedGraphWriter:
     (writers.rs:318-346 get_writer_for_modstrand + use_groupings).
     """
 
-    def __init__(self, out_dir: str, prefix: str | None = None, partitioned: bool = False):
+    def __init__(self, out_dir: str, prefix: str | None = None,
+                 partitioned: bool = False, append: bool = False):
         self.out_dir = out_dir
         self.prefix = prefix
         self.partitioned = partitioned
+        self.append = append
         os.makedirs(out_dir, exist_ok=True)
         self._files: dict = {}
+        self._names: dict = {}
 
     def _fh_for(self, key: tuple):
         fh = self._files.get(key)
@@ -213,9 +217,21 @@ class BedGraphWriter:
             name = f"{key_name}{delim}{code}_{strand_name}.bedgraph"
             if self.prefix:
                 name = f"{self.prefix}_{name}"
-            fh = open(os.path.join(self.out_dir, name), "w")
+            fh = open(
+                os.path.join(self.out_dir, name),
+                "a" if self.append else "w",
+            )
             self._files[key] = fh
+            self._names[key] = name
         return fh
+
+    def sizes(self) -> dict:
+        """{filename: byte size} of every output file (resume journal)."""
+        out = {}
+        for key, fh in self._files.items():
+            fh.flush()
+            out[self._names[key]] = fh.tell()
+        return out
 
     def _key_name(self, partition_key) -> str:
         if not self.partitioned:
@@ -225,9 +241,6 @@ class BedGraphWriter:
     def flush(self):
         for fh in self._files.values():
             fh.flush()
-
-    def tell(self) -> int:
-        raise NotImplementedError("bedgraph output has no resume journal")
 
     def write_rows(self, chrom: str, rows, motif_labels=(), partition_key=None):
         key_name = self._key_name(partition_key)
@@ -272,12 +285,15 @@ class PartitioningBedMethylWriter:
         out_dir: str,
         prefix: str | None = None,
         mixed_delimiters: bool = False,
+        append: bool = False,
     ):
         self.out_dir = out_dir
         self.prefix = prefix
         self.mixed_delimiters = mixed_delimiters
+        self.append = append
         os.makedirs(out_dir, exist_ok=True)
         self._writers: dict = {}
+        self._names: dict = {}
 
     def for_key(self, partition_key) -> BedMethylWriter:
         key_name = "ungrouped" if partition_key is None else partition_key
@@ -289,10 +305,20 @@ class PartitioningBedMethylWriter:
                 else f"{key_name}.bed"
             )
             w = BedMethylWriter(
-                os.path.join(self.out_dir, name), self.mixed_delimiters
+                os.path.join(self.out_dir, name), self.mixed_delimiters,
+                append=self.append,
             )
             self._writers[key_name] = w
+            self._names[key_name] = name
         return w
+
+    def sizes(self) -> dict:
+        """{filename: byte size} of every output file (resume journal)."""
+        out = {}
+        for key_name, w in self._writers.items():
+            w.flush()
+            out[self._names[key_name]] = w.tell()
+        return out
 
     @property
     def rows_written(self) -> int:

@@ -90,6 +90,68 @@ def test_pileup_ignore_h(resources, tmp_path):
             assert line.split("\t")[3] == "m"
 
 
+def _dir_contents(d):
+    return {
+        f: open(os.path.join(d, f)).read()
+        for f in sorted(os.listdir(d))
+    }
+
+
+def _run_multi_file_resume(tmp_path, resources, *, bedgraph, partition):
+    """Shared harness: full run vs crash-at-half-journal + resume must
+    produce identical per-file outputs for directory writers."""
+    import json
+    import shutil
+
+    bam = f"{resources}/bc_anchored_10_reads.sorted.bam"
+    kw = dict(
+        in_bam=bam, interval_size=25, no_filtering=True,
+        bedgraph=bedgraph,
+        partition_tags=["HP"] if partition else None,
+    )
+    full_dir = tmp_path / "full"
+    jfull = tmp_path / "jfull.jsonl"
+    run_pileup(PileupConfig(out=str(full_dir), journal=str(jfull), **kw))
+    full = _dir_contents(full_dir)
+    assert full, "expected output files"
+
+    lines = [json.loads(l) for l in open(jfull) if l.strip()]
+    assert lines and all("out_sizes" in r for r in lines)
+    half = lines[: len(lines) // 2]
+    resume_dir = tmp_path / "resume"
+    shutil.copytree(full_dir, resume_dir)
+    # simulate the crash: a garbage tail beyond the journaled sizes in
+    # one file, plus an extra partial file not in the journal record
+    sizes = half[-1]["out_sizes"]
+    victim = sorted(sizes)[0]
+    with open(resume_dir / victim, "a") as fh:
+        fh.write("GARBAGE\tROW\n")
+    suffix = ".bedgraph" if bedgraph else ".bed"
+    extra = resume_dir / f"zz_partial{suffix}"
+    extra.write_text("partial\trow\n")
+    j2 = tmp_path / "j2.jsonl"
+    with open(j2, "w") as fh:
+        for r in half:
+            fh.write(json.dumps(r) + "\n")
+    run_pileup(PileupConfig(out=str(resume_dir), journal=str(j2), **kw))
+    resumed = _dir_contents(resume_dir)
+    # the stray partial file is reset to empty, not deleted
+    assert resumed.pop(f"zz_partial{suffix}") == ""
+    assert resumed == full
+
+
+def test_pileup_journal_resume_bedgraph(tmp_path, resources):
+    """Journaled resume for --bedgraph directory outputs (VERDICT r4 #8)."""
+    _run_multi_file_resume(tmp_path, resources, bedgraph=True, partition=False)
+
+
+def test_pileup_journal_resume_partition_tag(tmp_path, resources):
+    """Journaled resume for --partition-tag directory outputs."""
+    _run_multi_file_resume(
+        tmp_path, resources, bedgraph=False, partition=True
+    )
+
+
 def test_pileup_journal_resume(tmp_path, resources):
     """Per-tile journal: interrupting and resuming reproduces the golden
     byte-for-byte (SURVEY Section 5 checkpoint/resume)."""
