@@ -331,6 +331,46 @@ def main():
 
     best_adjust = min(time_adjust(i) for i in range(2))
 
+    # entropy: engine vs the reference-architecture proxy
+    # (MODKIT_TPU_ENTROPY_BASELINE=1 = the reference's scan shape: window
+    # batches of floor(1.5*threads) fetched+decoded independently, every
+    # read offered to every window — entropy/subcommand.rs:295,
+    # entropy/mod.rs:1604 — sharing this engine's decode/entropy
+    # primitives, so the anchor is conservative)
+    from modkit_tpu.cli import main as cli_main
+
+    ent_reads = int(os.environ.get("MODKIT_BENCH_ENTROPY_READS", "5000"))
+    ent_bam = os.path.join(tmp, "ent.bam")
+    ent_fa = os.path.join(tmp, "ent.fa")
+    make_synthetic_modbam(
+        ent_bam, n_reads=ent_reads, read_len=read_len, coverage=coverage,
+        seed=2, fasta_out=ent_fa,
+    )
+    ent_args = [
+        "entropy", "-s", ent_bam, "--ref", ent_fa, "--cpg", "-t", "2",
+        "--force", "--suppress-progress",
+    ]
+
+    def time_entropy(tag, baseline=False):
+        out = os.path.join(tmp, f"ent_{tag}.bedgraph")
+        if baseline:
+            os.environ["MODKIT_TPU_ENTROPY_BASELINE"] = "1"
+        else:
+            os.environ.pop("MODKIT_TPU_ENTROPY_BASELINE", None)
+        t0 = time.perf_counter()
+        cli_main(ent_args + ["-o", out])
+        dt = time.perf_counter() - t0
+        _note(f"entropy {tag}: {dt:.1f}s")
+        return dt
+
+    best_entropy = min(time_entropy(f"e{i}") for i in range(2))
+    entropy_base = time_entropy("base", baseline=True)
+    ent_eq = (
+        open(os.path.join(tmp, "ent_e0.bedgraph")).read()
+        == open(os.path.join(tmp, "ent_base.bedgraph")).read()
+    )
+    assert ent_eq, "entropy engine != baseline-shape output"
+
     auto_out = open(os.path.join(tmp, "a0.bed")).read()
     forced_out = open(os.path.join(tmp, "d0.bed")).read()
     cpu_out = open(os.path.join(tmp, "c0.bed")).read()
@@ -370,6 +410,15 @@ def main():
                     "cpu_default_wall_s": round(best_cpu_default, 4),
                     "adjust_wall_s": round(best_adjust, 4),
                     "adjust_reads_per_s": round(n_reads / best_adjust, 1),
+                    "entropy_wall_s": round(best_entropy, 4),
+                    "entropy_reads_per_s": round(
+                        ent_reads / best_entropy, 1
+                    ),
+                    "vs_baseline_entropy": round(
+                        entropy_base / best_entropy, 3
+                    ),
+                    "entropy_baseline_wall_s": round(entropy_base, 4),
+                    "entropy_outputs_identical": ent_eq,
                     "device_forced_wall_s": round(best_forced, 4),
                     "device_forced_reads_per_s": round(
                         n_reads / best_forced, 1

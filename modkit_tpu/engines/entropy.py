@@ -82,6 +82,23 @@ def calc_me_entropy(
 ) -> np.float32:
     """methylation_entropy.rs:142-199 (f32 arithmetic).
 
+    Dispatches to the native C++ kernel when available (mk_me_entropy —
+    same accumulation orders, and its log2f matches the reference's Rust
+    f32::log2 exactly where numpy's SIMD log2 can differ by 1 ulp); the
+    numpy path below is the fallback/oracle."""
+    from .. import native as _native
+
+    r = _native.me_entropy(sequences, window_size, float(np.float32(constant)))
+    if r is not None:
+        return np.float32(r)
+    return _calc_me_entropy_py(sequences, window_size, constant)
+
+
+def _calc_me_entropy_py(
+    sequences: list[str], window_size: int, constant: float
+) -> np.float32:
+    """Pure-Python/numpy oracle for calc_me_entropy.
+
     Vectorized wildcard matching (the per-seq x per-pattern char loop was
     an entropy hot spot); the f32 accumulation orders of the scalar
     dict-based loop are preserved exactly — counts add in sequence order,
@@ -288,6 +305,26 @@ class EntropyWindow:
         """-> [(strand, start, end, result)] where result is either a
         (me_entropy, num_reads) tuple or an error string
         (entropy/mod.rs:434-544)."""
+        nat = getattr(self, "_native_res", None)
+        if nat is not None:
+            # results computed by the native batch engine (mk_entropy_*)
+            ps, pme, pnr, ms, mme, mnr = nat
+
+            def res_of(status, me, nr):
+                if status == 1:
+                    return "zero-coverage"
+                if status == 2:
+                    return "insufficient-coverage"
+                return (me, nr)
+
+            out = []
+            if self.combine or self.pos_positions is not None:
+                iv = self.interval("+")
+                out.append(("+", iv[0], iv[1], res_of(ps, pme, pnr)))
+            if not self.combine and self.neg_positions is not None:
+                iv = self.interval("-")
+                out.append(("-", iv[0], iv[1], res_of(ms, mme, mnr)))
+            return out
         window_size = self.size()
         constant = 1.0 / window_size
         codes = sorted(
@@ -803,6 +840,14 @@ def run_entropy(args) -> int:
             max(100_000, 4 * args.window_size),
         )
     )
+    # MODKIT_TPU_ENTROPY_BASELINE=1: the reference's scan architecture as
+    # the CPU baseline proxy (BASELINE.md) — window batches of
+    # floor(threads * 1.5) (entropy/subcommand.rs:295) fetched+decoded
+    # independently, and every read offered to every window of the batch
+    # (entropy/mod.rs:1604 par_iter_mut add_read_to_patterns; no routing).
+    # Decode/entropy primitives are shared with the production engine, so
+    # this anchors the architecture, conservatively.
+    baseline_shape = os.environ.get("MODKIT_TPU_ENTROPY_BASELINE") == "1"
 
     def iter_window_batches(windows_iter):
         """Group consecutive windows into fetch batches bounded by genomic
@@ -810,6 +855,17 @@ def run_entropy(args) -> int:
         windows they can cover — instead of offering every read to every
         window of the contig (the reference also walks windows in interval
         batches, entropy/mod.rs:703 SlidingWindows)."""
+        if baseline_shape:
+            n_per = max(1, int((getattr(args, "threads", 1) or 1) * 1.5))
+            batch = []
+            for w in windows_iter:
+                batch.append(w)
+                if len(batch) >= n_per:
+                    yield batch
+                    batch = []
+            if batch:
+                yield batch
+            return
         batch: list = []
         lo = hi = 0
         for w in windows_iter:
@@ -828,6 +884,41 @@ def run_entropy(args) -> int:
         if batch:
             yield batch
 
+    def _native_process_batch(tid, windows) -> bool:
+        """Whole-batch native path (mk_entropy_*): BGZF inflate + decode +
+        per-position threshold calls + pattern assembly + entropy in C++.
+        Results land on each window as ``_native_res`` for into_entropy."""
+        if os.environ.get("MODKIT_TPU_DISABLE_NATIVE") == "1":
+            return False
+        if not all(hasattr(r, "bam_raw") for r in readers):
+            return False
+        from .. import native
+
+        nb = native.EntropyBatch.create(
+            windows, combine_strands, args.num_positions, max_filtered,
+            caller, route_all=baseline_shape,
+        )
+        if nb is None:
+            return False
+        try:
+            lo = min(w.leftmost() for w in windows)
+            hi = max(w.rightmost() for w in windows)
+            for reader in readers:
+                nb.add(
+                    reader.bam_raw,
+                    reader.fetch_chunk_voffsets(tid, lo, hi),
+                    tid, lo, hi, n_threads=1,
+                )
+            ps, pm, pn, ms, mm, mn = nb.finish(args.min_coverage)
+        finally:
+            nb.close()
+        for i, w in enumerate(windows):
+            w._native_res = (
+                int(ps[i]), np.float32(pm[i]), int(pn[i]),
+                int(ms[i]), np.float32(mm[i]), int(mn[i]),
+            )
+        return True
+
     def process_batch(tid, windows):
         """Fetch reads covering the batch span; add each to the windows it
         fully covers. A window is eligible only when the read covers its
@@ -835,6 +926,9 @@ def run_entropy(args) -> int:
         leftmost must sit in [ref_start, ref_end] — bisect on sorted
         leftmosts; add_read re-checks the exact cover condition."""
         from bisect import bisect_left, bisect_right
+
+        if _native_process_batch(tid, windows):
+            return
 
         order = sorted(
             range(len(windows)), key=lambda i: windows[i].leftmost()

@@ -188,6 +188,13 @@ def maybe_init_distributed() -> bool:
 
 
 def process_info() -> tuple[int, int]:
+    """(process_index, process_count). When jax.distributed was never
+    initialized (no MODKIT_TPU_COORD), this is (0, 1) by construction —
+    answered WITHOUT touching jax.process_index(), which would initialize
+    the PJRT backend (~10 s against a tunneled TPU) just to learn the
+    rank of a single-process run."""
+    if not os.environ.get("MODKIT_TPU_COORD"):
+        return 0, 1
     import jax
 
     return jax.process_index(), jax.process_count()

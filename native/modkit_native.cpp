@@ -31,6 +31,7 @@
 #include <cstring>
 #include <map>
 #include <memory>
+#include <set>
 #include <string>
 #include <thread>
 #include <unordered_map>
@@ -1729,21 +1730,17 @@ static size_t bgzf_compress_block(const uint8_t* src, size_t n, uint8_t* dst,
   return bsize;
 }
 
-int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
-                            const int64_t* vbeg, const int64_t* vend,
-                            int32_t n_chunks, int32_t tid, int64_t start,
-                            int64_t end, int64_t max_depth,
-                            int32_t force_allow, int32_t has_edge,
-                            int64_t edge_start, int64_t edge_end,
-                            int32_t edge_inverted,
-                            const int64_t* collapse_blob,
-                            int32_t collapse_len, const int8_t* focus_rule,
-                            const char* ptags, int32_t n_ptags,
-                            int32_t n_threads, MkTileOut* out) {
-  int nt = n_threads > 0 ? n_threads : 1;
-  std::vector<std::vector<uint8_t>> datas((size_t)n_chunks);
-  std::vector<const uint8_t*> ptrs((size_t)n_chunks);
-  std::vector<int64_t> lens((size_t)n_chunks, 0);
+// BGZF voffset-chunk inflation with early stop at the first complete
+// record past (tid, end) — shared by the tile decoder and the entropy
+// batch engine.
+static void inflate_voffset_chunks(
+    const uint8_t* raw, int64_t raw_len, const int64_t* vbeg,
+    const int64_t* vend, int32_t n_chunks, int32_t tid, int64_t end,
+    int nt, std::vector<std::vector<uint8_t>>& datas,
+    std::vector<const uint8_t*>& ptrs, std::vector<int64_t>& lens) {
+  datas.assign((size_t)n_chunks, {});
+  ptrs.assign((size_t)n_chunks, nullptr);
+  lens.assign((size_t)n_chunks, 0);
   bool stop = false;
   for (int32_t c = 0; c < n_chunks && !stop; ++c) {
     int64_t c0 = vbeg[c] >> 16, u0 = vbeg[c] & 0xFFFF;
@@ -1832,6 +1829,25 @@ int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
     ptrs[c] = data.data() + lo;
     lens[c] = hi - lo;
   }
+}
+
+int32_t mk_decode_tile_bgzf(const uint8_t* raw, int64_t raw_len,
+                            const int64_t* vbeg, const int64_t* vend,
+                            int32_t n_chunks, int32_t tid, int64_t start,
+                            int64_t end, int64_t max_depth,
+                            int32_t force_allow, int32_t has_edge,
+                            int64_t edge_start, int64_t edge_end,
+                            int32_t edge_inverted,
+                            const int64_t* collapse_blob,
+                            int32_t collapse_len, const int8_t* focus_rule,
+                            const char* ptags, int32_t n_ptags,
+                            int32_t n_threads, MkTileOut* out) {
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::vector<uint8_t>> datas;
+  std::vector<const uint8_t*> ptrs;
+  std::vector<int64_t> lens;
+  inflate_voffset_chunks(raw, raw_len, vbeg, vend, n_chunks, tid, end, nt,
+                         datas, ptrs, lens);
   return mk_decode_tile(ptrs.data(), lens.data(), n_chunks, tid, start, end,
                         max_depth, force_allow, has_edge, edge_start,
                         edge_end, edge_inverted, collapse_blob, collapse_len,
@@ -5317,6 +5333,590 @@ void mk_free_adjust(MkAdjustOut* out) {
   std::free(out->carry);
   out->blob = nullptr;
   out->carry = nullptr;
+}
+
+// ---------------------------------------------------------------------------
+// Methylation entropy math (engines/entropy.py calc_me_entropy; reference
+// src/entropy/methylation_entropy.rs:16-199). One window's epiallele
+// strings -> mean Shannon entropy, f32 accumulation orders identical to
+// the reference's scalar fold: counts add in sequence order; total and
+// shannon sums visit patterns in first-hit insertion order (ties by
+// sorted-pattern index). log2f matches Rust's f32::log2 (libm).
+// ---------------------------------------------------------------------------
+static float me_entropy_core(const std::vector<std::string>& seqs,
+                             int32_t w, float constant) {
+  const int32_t n_seqs = (int32_t)seqs.size();
+  if (n_seqs <= 0 || w <= 0) return 0.0f;
+  bool any_wild = false;
+  for (const auto& s : seqs)
+    if (s.find('*') != std::string::npos) {
+      any_wild = true;
+      break;
+    }
+  float shannon = 0.0f;
+  if (!any_wild) {
+    // no wildcards: each sequence matches exactly itself; counts keyed
+    // by first occurrence
+    std::vector<std::string> order;
+    std::unordered_map<std::string, float> counts;
+    for (const auto& s : seqs) {
+      auto it = counts.find(s);
+      if (it == counts.end()) {
+        counts.emplace(s, 1.0f);
+        order.push_back(s);
+      } else {
+        it->second += 1.0f;
+      }
+    }
+    float total = 0.0f;
+    for (const auto& k : order) total += counts[k];
+    for (const auto& k : order) {
+      float p = counts[k] / total;
+      shannon += p * log2f(p);
+    }
+  } else {
+    // per-column alphabets of observed (non-'*') characters, sorted
+    // (AlphabetInfo::from_sequences)
+    std::vector<std::string> cols(w);
+    for (int32_t c = 0; c < w; ++c) {
+      bool seen[256] = {false};
+      for (const auto& s : seqs) {
+        unsigned char ch = (unsigned char)s[c];
+        if (ch != '*') seen[ch] = true;
+      }
+      for (int ch = 0; ch < 256; ++ch)
+        if (seen[ch]) cols[c].push_back((char)ch);
+    }
+    // DP expansion of wildcard-consistent patterns (all_patterns_dp)
+    std::set<std::string> uniq_set(seqs.begin(), seqs.end());
+    std::vector<std::string> uniq(uniq_set.begin(), uniq_set.end());
+    auto matches = [](const std::string& seq, const std::string& pat,
+                      size_t n) {
+      for (size_t i = 0; i < n; ++i)
+        if (seq[i] != '*' && seq[i] != pat[i]) return false;
+      return true;
+    };
+    std::set<std::string> acc;
+    for (char ch : cols[0]) acc.emplace(1, ch);
+    for (int32_t idx = 1; idx < w; ++idx) {
+      std::set<std::string> nxt;
+      for (const auto& seq : uniq) {
+        for (const auto& pat : acc) {
+          if (!matches(seq, pat, (size_t)idx)) continue;
+          char last = seq[idx];
+          if (last == '*') {
+            for (char x : cols[idx]) nxt.insert(pat + x);
+          } else {
+            nxt.insert(pat + last);
+          }
+        }
+      }
+      acc.swap(nxt);
+    }
+    std::vector<std::string> patterns(acc.begin(), acc.end());
+    const int np = (int)patterns.size();
+    // fractional counting: each sequence splits 1.0 evenly over the
+    // patterns it matches (f32 divide), added in sequence order
+    std::vector<float> counts(np, 0.0f);
+    std::vector<int32_t> first_seq(np, -1);
+    std::vector<int> hit;
+    hit.reserve(np);
+    for (int32_t i = 0; i < n_seqs; ++i) {
+      hit.clear();
+      for (int p = 0; p < np; ++p)
+        if (matches(seqs[i], patterns[p], (size_t)w)) hit.push_back(p);
+      if (hit.empty()) continue;  // cannot happen: own pattern matches
+      float factor = 1.0f / (float)hit.size();
+      for (int p : hit) {
+        counts[p] += factor;
+        if (first_seq[p] < 0) first_seq[p] = i;
+      }
+    }
+    // visit order: first matching sequence, then pattern index
+    std::vector<int> order;
+    order.reserve(np);
+    for (int p = 0; p < np; ++p)
+      if (first_seq[p] >= 0) order.push_back(p);
+    std::stable_sort(order.begin(), order.end(), [&](int a, int b) {
+      return first_seq[a] < first_seq[b];
+    });
+    float total = 0.0f;
+    for (int p : order) total += counts[p];
+    for (int p : order) {
+      float pp = counts[p] / total;
+      shannon += pp * log2f(pp);
+    }
+  }
+  float me = constant * (-shannon);
+  if (me == 0.0f) return 0.0f;  // normalize -0.0
+  return me;
+}
+
+float mk_me_entropy(const char* blob, int32_t n_seqs, int32_t w,
+                    float constant) {
+  std::vector<std::string> seqs;
+  seqs.reserve(n_seqs > 0 ? n_seqs : 0);
+  for (int32_t i = 0; i < n_seqs; ++i)
+    seqs.emplace_back(blob + (size_t)i * w, (size_t)w);
+  return me_entropy_core(seqs, w, constant);
+}
+
+// ---------------------------------------------------------------------------
+// Entropy window-batch engine (engines/entropy.py process_batch; reference
+// entropy/mod.rs:1483-1621 process_bam_fp + add_read_to_patterns). One
+// handle per window batch: mk_entropy_add streams each input BAM's BGZF
+// chunks through decode -> per-position threshold calls -> pattern
+// assembly; mk_entropy_finish computes per-window entropies
+// (methylation_entropy.rs semantics via me_entropy_core).
+// ---------------------------------------------------------------------------
+
+static const int64_t EP_CANON = INT64_MIN;      // canonical call sentinel
+static const int64_t EP_FILT = INT64_MIN + 1;   // filtered call sentinel
+
+struct EpCallerCfg {
+  // lookup chain resolved host-side: explicit per-mod first, else the
+  // per-base fallback (per_mod[any_mod_code] -> per_base -> default)
+  double can_thr[4];
+  double mod_fallback[4];
+  std::vector<std::pair<Code, double>> per_mod;
+
+  double mod_thr(Code c, int bidx) const {
+    for (auto& kv : per_mod)
+      if (kv.first == c) return kv.second;
+    return mod_fallback[bidx];
+  }
+};
+
+struct EpWindow {
+  // pattern keys: (base char, genome pos), index-aligned with coverage.
+  // stranded: plus=pos_positions, minus=neg_positions; combine:
+  // plus=pos-side keys (sorted by pos), minus=neg keys in value-pos order
+  std::vector<std::pair<char, int64_t>> plus_keys, minus_keys;
+  int64_t gate_plus[2] = {-1, -1}, gate_minus[2] = {-1, -1};
+  bool plus_present = false, minus_present = false;
+  std::vector<std::vector<int64_t>> plus_patterns, minus_patterns;
+  std::vector<int32_t> plus_cov, minus_cov;
+};
+
+struct EpBatch {
+  int32_t n_windows = 0, N = 0, max_filtered = 0;
+  bool combine = false;
+  bool route_all = false;  // reference scan shape: every read offered to
+                           // every window (entropy/mod.rs:1604 par_iter)
+  EpCallerCfg cfg;
+  std::vector<EpWindow> wins;
+  std::vector<int32_t> route;   // window index sorted by leftmost
+  std::vector<int64_t> lefts;   // sorted leftmost values
+};
+
+// scalar MultipleThresholdModCaller::call (caller.py ThresholdCaller.call):
+// f64 threshold comparisons (np.float32 cmp python-float promotes)
+static int64_t ep_scalar_call(
+    const EpCallerCfg& cfg, int bidx,
+    const std::vector<std::pair<Code, float>>& probs) {
+  bool has_best = false;
+  double best_p = 0.0;
+  Code best_code = 0;
+  for (auto& kv : probs) {
+    double p = (double)kv.second;
+    if (p >= cfg.mod_thr(kv.first, bidx)) {
+      if (!has_best || p >= best_p) {
+        has_best = true;
+        best_p = p;
+        best_code = kv.first;
+      }
+    }
+  }
+  float sum = 0.0f;
+  for (auto& kv : probs) sum += kv.second;
+  float canon = 1.0f - sum;
+  bool canonical = false;
+  if ((double)canon >= cfg.can_thr[bidx]) {
+    if (!has_best || (double)canon >= best_p) {
+      canonical = true;
+      has_best = true;
+    }
+  }
+  if (!has_best) return EP_FILT;
+  if (canonical) return EP_CANON;
+  return best_code;
+}
+
+static void ep_add_read(EpBatch* b, EpWindow& w, bool read_plus,
+                        const std::unordered_map<int64_t, int64_t>& calls,
+                        int64_t ref_start, int64_t ref_end) {
+  if (ref_start < 0 || ref_end <= ref_start) return;
+  const int64_t* gate;
+  const std::vector<std::pair<char, int64_t>>* keys;
+  if (b->combine) {
+    gate = w.gate_plus;
+    keys = read_plus ? &w.plus_keys : &w.minus_keys;
+  } else if (read_plus) {
+    if (!w.plus_present) return;
+    gate = w.gate_plus;
+    keys = &w.plus_keys;
+  } else {
+    if (!w.minus_present) return;
+    gate = w.gate_minus;
+    keys = &w.minus_keys;
+  }
+  if (gate[0] < 0) return;
+  if (!(ref_start <= gate[0] && ref_end >= gate[1])) return;
+  const int n = (int)keys->size();
+  std::vector<int64_t> pattern(n, EP_FILT);
+  int n_filt = 0;
+  for (int i = 0; i < n; ++i) {
+    const auto& bp = (*keys)[i];
+    int64_t key = (bp.second << 2) | (int64_t)base_idx_of(bp.first);
+    auto it = calls.find(key);
+    if (it != calls.end()) pattern[i] = it->second;
+    if (pattern[i] == EP_FILT) ++n_filt;
+  }
+  if (n_filt > b->max_filtered) return;
+  bool to_plus = b->combine || read_plus;
+  auto& cov = to_plus ? w.plus_cov : w.minus_cov;
+  for (int i = 0; i < n; ++i)
+    if (pattern[i] != EP_FILT) ++cov[i];
+  (to_plus ? w.plus_patterns : w.minus_patterns).push_back(
+      std::move(pattern));
+}
+
+void* mk_entropy_new(
+    int32_t n_windows, int32_t num_positions, int32_t combine,
+    int32_t max_filtered, int32_t route_all,
+    const int8_t* plus_base, const int64_t* plus_pos,
+    const int8_t* minus_base, const int64_t* minus_pos,
+    const int32_t* plus_present, const int32_t* minus_present,
+    const int64_t* gates,  // [n_windows*4] +start,+end,-start,-end (-1 absent)
+    const double* can_thr4, const double* mod_fallback4,
+    const int64_t* pm_codes, const double* pm_thrs, int32_t n_pm) {
+  EpBatch* b = new EpBatch();
+  b->n_windows = n_windows;
+  b->N = num_positions;
+  b->combine = combine != 0;
+  b->max_filtered = max_filtered;
+  b->route_all = route_all != 0;
+  for (int i = 0; i < 4; ++i) {
+    b->cfg.can_thr[i] = can_thr4[i];
+    b->cfg.mod_fallback[i] = mod_fallback4[i];
+  }
+  for (int32_t i = 0; i < n_pm; ++i)
+    b->cfg.per_mod.emplace_back((Code)pm_codes[i], pm_thrs[i]);
+  b->wins.resize((size_t)n_windows);
+  const int N = num_positions;
+  std::vector<std::pair<int64_t, int32_t>> order;
+  order.reserve(n_windows);
+  for (int32_t wi = 0; wi < n_windows; ++wi) {
+    EpWindow& w = b->wins[wi];
+    w.plus_present = plus_present[wi] != 0;
+    w.minus_present = minus_present[wi] != 0;
+    if (w.plus_present) {
+      w.plus_keys.reserve(N);
+      for (int i = 0; i < N; ++i)
+        w.plus_keys.emplace_back((char)plus_base[(size_t)wi * N + i],
+                                 plus_pos[(size_t)wi * N + i]);
+    }
+    if (w.minus_present) {
+      w.minus_keys.reserve(N);
+      for (int i = 0; i < N; ++i)
+        w.minus_keys.emplace_back((char)minus_base[(size_t)wi * N + i],
+                                  minus_pos[(size_t)wi * N + i]);
+    }
+    w.gate_plus[0] = gates[(size_t)wi * 4 + 0];
+    w.gate_plus[1] = gates[(size_t)wi * 4 + 1];
+    w.gate_minus[0] = gates[(size_t)wi * 4 + 2];
+    w.gate_minus[1] = gates[(size_t)wi * 4 + 3];
+    if (b->combine || w.plus_present) w.plus_cov.assign(N, 0);
+    if (!b->combine && w.minus_present) w.minus_cov.assign(N, 0);
+    int64_t leftmost = INT64_MAX;
+    if (w.gate_plus[0] >= 0) leftmost = std::min(leftmost, w.gate_plus[0]);
+    if (w.gate_minus[0] >= 0) leftmost = std::min(leftmost, w.gate_minus[0]);
+    order.emplace_back(leftmost, wi);
+  }
+  std::stable_sort(order.begin(), order.end(),
+                   [](const auto& a, const auto& b2) {
+                     return a.first < b2.first;
+                   });
+  for (auto& kv : order) {
+    b->lefts.push_back(kv.first);
+    b->route.push_back(kv.second);
+  }
+  return b;
+}
+
+int32_t mk_entropy_add(void* handle, const uint8_t* raw, int64_t raw_len,
+                       const int64_t* vbeg, const int64_t* vend,
+                       int32_t n_chunks, int32_t tid, int64_t lo,
+                       int64_t hi, int32_t n_threads) {
+  EpBatch* b = static_cast<EpBatch*>(handle);
+  int nt = n_threads > 0 ? n_threads : 1;
+  std::vector<std::vector<uint8_t>> datas;
+  std::vector<const uint8_t*> ptrs;
+  std::vector<int64_t> lens;
+  inflate_voffset_chunks(raw, raw_len, vbeg, vend, n_chunks, tid, hi, nt,
+                         datas, ptrs, lens);
+  std::vector<uint8_t> fwd;
+  std::vector<int32_t> qf, rp;
+  std::vector<int32_t> refmap;
+  std::unordered_map<int64_t, int64_t> calls;
+  bool done = false;
+  for (int32_t c = 0; c < n_chunks && !done; ++c) {
+    const uint8_t* data = ptrs[c];
+    int64_t len = lens[c];
+    int64_t off = 0;
+    while (off + 4 <= len && !done) {
+      int32_t bs;
+      std::memcpy(&bs, data + off, 4);
+      if (bs < 32 || off + 4 + bs > len) break;
+      Rec r;
+      r.p = data + off + 4;
+      r.len = bs;
+      off += 4 + bs;
+      r.parse_head();
+      if (r.ref_id != tid) {
+        if (r.ref_id > tid) done = true;
+        continue;
+      }
+      if ((int64_t)r.pos >= hi) {
+        done = true;
+        break;
+      }
+      if (r.is_unmapped() || r.is_not_primary() || r.l_seq == 0) continue;
+      int64_t ref_start = r.pos;
+      int64_t ref_end = ref_start + r.reference_span();
+      if (ref_end <= lo) continue;
+      // routing: windows whose leftmost lies in [ref_start, ref_end]
+      // (route_all = the reference's shape: no routing, every window)
+      auto first = b->route_all
+                       ? b->lefts.begin()
+                       : std::lower_bound(b->lefts.begin(), b->lefts.end(),
+                                          ref_start);
+      auto last = b->route_all
+                      ? b->lefts.end()
+                      : std::upper_bound(b->lefts.begin(), b->lefts.end(),
+                                         ref_end);
+      if (first == last) continue;
+      // decode (read_mod_calls: any failure -> skip silently)
+      ModInfo info;
+      try {
+        AuxTags aux = scan_aux(r);
+        if (aux.bad) throw MkError{E_INVALID_MM};
+        const TagSlot& mm = aux.mm_up.present ? aux.mm_up : aux.mm_lo;
+        if (!mm.present) throw MkError{E_MM_MISSING};
+        if (mm.wrong_type || mm.z == nullptr) throw MkError{E_INVALID_MM};
+        const TagSlot& ml = aux.ml_up.present ? aux.ml_up : aux.ml_lo;
+        if (!ml.present) throw MkError{E_ML_MISSING};
+        if (ml.wrong_type || ml.b == nullptr) throw MkError{E_INVALID_ML};
+        if (aux.mn_present) {
+          if (aux.mn_wrong_type) throw MkError{E_INVALID_MN};
+          if (aux.mn_value != (int64_t)r.l_seq) throw MkError{E_INVALID_MN};
+        } else if (r.is_not_primary()) {
+          throw MkError{E_NON_PRIMARY_MN};
+        }
+        forward_seq(r, fwd);
+        info = decode_read_mods(fwd, mm.z, ml.b, ml.b_n);
+      } catch (const MkError&) {
+        continue;
+      } catch (...) {
+        continue;
+      }
+      // duplex reads skipped (entropy/mod.rs:1535)
+      {
+        bool s0 = false, s1 = false;
+        for (auto& g : info.groups)
+          (g.mod_strand == 0 ? s0 : s1) = true;
+        if (s0 && s1) continue;
+      }
+      // union of observed codes per base across the read (any row with
+      // a present prob), sorted by mod-code order
+      std::array<std::vector<Code>, 4> union_by_base;
+      for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+        for (auto& g : info.groups) {
+          if (g.mod_strand != strand_pass) continue;
+          auto& u = union_by_base[base_idx_of(g.base)];
+          size_t gm = g.codes.size(), gn = g.pos.size();
+          for (size_t j = 0; j < gm; ++j) {
+            bool present_any = false;
+            for (size_t i = 0; i < gn && !present_any; ++i)
+              if (g.probs[i * gm + j] >= 0.0f) present_any = true;
+            if (present_any &&
+                std::find(u.begin(), u.end(), g.codes[j]) == u.end())
+              u.push_back(g.codes[j]);
+          }
+        }
+      }
+      for (auto& u : union_by_base)
+        std::sort(u.begin(), u.end(), code_less);
+      // forward query pos -> ref pos
+      qf.clear();
+      rp.clear();
+      aligned_pairs_sorted(r, qf, rp);
+      refmap.assign(r.l_seq, -1);
+      for (size_t i = 0; i < qf.size(); ++i) refmap[qf[i]] = rp[i];
+      // per-position thresholded calls (entropy.py _group_calls)
+      calls.clear();
+      for (int strand_pass = 0; strand_pass < 2; ++strand_pass) {
+        for (auto& g : info.groups) {
+          if (g.mod_strand != strand_pass) continue;
+          int bidx = base_idx_of(g.base);
+          const auto& u = union_by_base[bidx];
+          size_t gm = g.codes.size(), gn = g.pos.size();
+          // candidate columns: group codes then union leftovers
+          std::vector<Code> cols(g.codes);
+          for (Code cu : u)
+            if (std::find(cols.begin(), cols.end(), cu) == cols.end())
+              cols.push_back(cu);
+          std::vector<float> thr(cols.size());
+          for (size_t j = 0; j < cols.size(); ++j)
+            thr[j] = (float)b->cfg.mod_thr(cols[j], bidx);
+          // one shared call covers every inferred row of the base
+          int64_t call0 = 0;
+          bool have_call0 = false;
+          for (size_t i = 0; i < gn; ++i) {
+            int32_t qpos = g.pos[i];
+            if (qpos < 0 || qpos >= (int32_t)r.l_seq) continue;
+            int32_t rpos = refmap[qpos];
+            if (rpos < 0) continue;
+            int64_t key = ((int64_t)rpos << 2) | (int64_t)bidx;
+            if (g.inferred[i]) {
+              if (!have_call0) {
+                std::vector<std::pair<Code, float>> probs;
+                for (Code cu : u) probs.emplace_back(cu, 0.0f);
+                call0 = ep_scalar_call(b->cfg, bidx, probs);
+                have_call0 = true;
+              }
+              calls[key] = call0;
+              continue;
+            }
+            bool all_present = true;
+            for (size_t j = 0; j < gm && all_present; ++j)
+              if (g.probs[i * gm + j] < 0.0f) all_present = false;
+            if (!all_present) {
+              // rare multi-subtag rows with absent classes: scalar path
+              std::vector<std::pair<Code, float>> probs;
+              for (size_t j = 0; j < gm; ++j) {
+                float p = g.probs[i * gm + j];
+                if (p >= 0.0f) probs.emplace_back(g.codes[j], p);
+              }
+              for (Code cu : u) {
+                bool seen = false;
+                for (auto& kv : probs)
+                  if (kv.first == cu) {
+                    seen = true;
+                    break;
+                  }
+                if (!seen) probs.emplace_back(cu, 0.0f);
+              }
+              calls[key] = ep_scalar_call(b->cfg, bidx, probs);
+              continue;
+            }
+            // vectorized-path semantics: f32 thresholds, later candidate
+            // wins ties, canonical last
+            float canon = 1.0f;
+            {
+              float sum = 0.0f;
+              for (size_t j = 0; j < gm; ++j) sum += g.probs[i * gm + j];
+              canon = 1.0f - sum;
+            }
+            float best = -INFINITY;
+            size_t best_j = 0;
+            bool any_mod = false;
+            for (size_t j = 0; j < cols.size(); ++j) {
+              float val = j < gm ? g.probs[i * gm + j] : 0.0f;
+              bool pass = val >= thr[j];
+              if (pass && val >= best) {
+                best = val;
+                best_j = j;
+              }
+              any_mod |= pass;
+            }
+            bool pass_can =
+                canon >= (float)b->cfg.can_thr[bidx];
+            if (pass_can && (!any_mod || canon >= best))
+              calls[key] = EP_CANON;
+            else if (any_mod)
+              calls[key] = cols[best_j];
+            else
+              calls[key] = EP_FILT;
+          }
+        }
+      }
+      bool read_plus = !r.is_reverse();
+      for (auto it = first; it != last; ++it) {
+        int32_t wi = b->route[(size_t)(it - b->lefts.begin())];
+        ep_add_read(b, b->wins[wi], read_plus, calls, ref_start, ref_end);
+      }
+    }
+  }
+  return 0;
+}
+
+void mk_entropy_finish(void* handle, int32_t min_coverage,
+                       int32_t* plus_status, float* plus_me,
+                       int32_t* plus_nreads, int32_t* minus_status,
+                       float* minus_me, int32_t* minus_nreads) {
+  EpBatch* b = static_cast<EpBatch*>(handle);
+  const int N = b->N;
+  const float constant = (float)(1.0 / (double)N);
+  for (int32_t wi = 0; wi < b->n_windows; ++wi) {
+    EpWindow& w = b->wins[wi];
+    plus_status[wi] = minus_status[wi] = -1;
+    plus_me[wi] = minus_me[wi] = 0.0f;
+    plus_nreads[wi] = minus_nreads[wi] = 0;
+    // mod-code vocabulary across both strands' patterns, sorted
+    std::vector<Code> codes;
+    for (auto* store : {&w.plus_patterns, &w.minus_patterns})
+      for (auto& pat : *store)
+        for (int64_t v : pat)
+          if (v != EP_CANON && v != EP_FILT &&
+              std::find(codes.begin(), codes.end(), (Code)v) == codes.end())
+            codes.push_back((Code)v);
+    std::sort(codes.begin(), codes.end(), code_less);
+    auto encode = [&](const std::vector<std::vector<int64_t>>& pats,
+                      const std::vector<int32_t>& cov, int32_t* status,
+                      float* me, int32_t* nreads) {
+      bool all_ok = true, all_zero = true;
+      for (int i = 0; i < N; ++i) {
+        if (cov[i] < min_coverage) all_ok = false;
+        if (cov[i] != 0) all_zero = false;
+      }
+      if (!all_ok) {
+        *status = all_zero ? 1 : 2;
+        return;
+      }
+      std::vector<std::string> seqs;
+      seqs.reserve(pats.size());
+      for (auto& pat : pats) {
+        std::string s(N, '0');
+        for (int i = 0; i < N; ++i) {
+          if (pat[i] == EP_CANON)
+            s[i] = '0';
+          else if (pat[i] == EP_FILT)
+            s[i] = '*';
+          else {
+            size_t ci = std::find(codes.begin(), codes.end(),
+                                  (Code)pat[i]) -
+                        codes.begin();
+            s[i] = (char)('1' + (int)ci);
+          }
+        }
+        seqs.push_back(std::move(s));
+      }
+      *status = 0;
+      *me = me_entropy_core(seqs, N, constant);
+      *nreads = (int32_t)seqs.size();
+    };
+    if (b->combine || w.plus_present)
+      encode(w.plus_patterns, w.plus_cov, &plus_status[wi], &plus_me[wi],
+             &plus_nreads[wi]);
+    if (!b->combine && w.minus_present)
+      encode(w.minus_patterns, w.minus_cov, &minus_status[wi],
+             &minus_me[wi], &minus_nreads[wi]);
+  }
+}
+
+void mk_entropy_free(void* handle) {
+  delete static_cast<EpBatch*>(handle);
 }
 
 }  // extern "C"
