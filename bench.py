@@ -39,100 +39,156 @@ def _note(msg):
     print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def _measure_hbm_copy_gbps():
-    """On-device copy bandwidth (read + write) on a 256 MB buffer."""
+def _sync_cost(reps: int = 8) -> float:
+    """Fetch round-trip of a tiny op. NOTE (round-5 discovery): on this
+    environment's axon backend ``block_until_ready()`` returns WITHOUT
+    waiting for execution — a chain of 20 large matmuls "blocks" in
+    0.6 ms and then takes minutes when a value is fetched. Every device
+    timing below therefore forces execution by fetching a scalar and
+    subtracts this round-trip. The r3/r4 kernel rooflines used
+    block_until_ready and are invalid; see BASELINE.md."""
     import jax
     import jax.numpy as jnp
 
-    x = jnp.zeros(64 * 1024 * 1024, jnp.float32)  # 256 MB
-    f = jax.jit(lambda a: a + jnp.float32(1.0))
-    f(x).block_until_ready()
+    s = jnp.zeros((8, 128), jnp.float32)
+    f = jax.jit(lambda a: (a + 1.0).sum())
+    float(f(s))
     t0 = time.perf_counter()
-    reps = 5
     for _ in range(reps):
-        x = f(x)
-    x.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return 2.0 * x.nbytes / dt / 1e9
+        float(f(s))
+    return (time.perf_counter() - t0) / reps
+
+
+def _measure_hbm_read_gbps(sync: float):
+    """Streaming-read bandwidth: (a+1).sum() fuses to one fetch-forced
+    read pass over a 2 GB buffer."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.zeros(512 * 1024 * 1024, jnp.float32)  # 2 GB
+    f = jax.jit(lambda a: (a + 1.0).sum())
+    float(f(x))
+    t0 = time.perf_counter()
+    reps = 4
+    for _ in range(reps):
+        float(f(x))
+    dt = max((time.perf_counter() - t0) / reps - sync, 1e-9)
+    return x.nbytes / dt / 1e9
+
+
+def _measure_mxu_tflops(sync: float, k: int = 4096, amp: int = 16):
+    """fori-amplified over distinct stacked lhs (anti-hoisting)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    astack = jax.device_put(
+        rng.standard_normal((amp, k, k)).astype(jnp.bfloat16)
+    )
+    b = jax.device_put(
+        rng.standard_normal((k, k)).astype(jnp.bfloat16)
+    )
+
+    @jax.jit
+    def f(astack, b):
+        def body(i, acc):
+            return acc + (astack[i] @ b).sum().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, amp, body, jnp.float32(0))
+
+    float(f(astack, b))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        float(f(astack, b))
+    dt = max(((time.perf_counter() - t0) / reps - sync) / amp, 1e-9)
+    return 2 * k**3 / dt / 1e12
 
 
 def _kernel_rooflines(link_bw):
-    """Warm on-chip throughput of the two hot kernels, device-resident."""
+    """Honest (fetch-forced) on-chip throughput of the hot kernels.
+
+    Methodology (round 5): every measurement amplifies the op K times
+    inside one jit over DISTINCT device-resident inputs (anti-CSE /
+    anti-hoisting), fetches a scalar reduction to force execution, and
+    subtracts the measured fetch round-trip. block_until_ready-based
+    rep loops (r3/r4) measured nothing on this backend.
+    """
+    import functools
+
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
-    from modkit_tpu.ops.pileup_counts import threshold_state_from_quals
-    from modkit_tpu.pileup.engine import _pallas_ok
-
-    hbm_gbps = _measure_hbm_copy_gbps()
+    sync = _sync_cost()
+    hbm_gbps = _measure_hbm_read_gbps(sync)
+    mxu_tflops = _measure_mxu_tflops(sync)
     rng = np.random.default_rng(7)
     m = 2
     n = 64 * 65536  # 4.19 Mevents; multiple of the Pallas block (512*128)
+    K = 16  # amplification (signal must clear ~ms-level sync jitter)
 
-    # ---- threshold-state kernel (Pallas on TPU; XLA fallback on CPU) ----
-    quals_t = jax.device_put(rng.integers(0, 256, (m, n), dtype=np.uint8))
-    present = jax.device_put(np.full(n, 3, dtype=np.uint8))
-    zeros = jax.device_put(np.zeros(n, dtype=np.uint8))
-    base = jax.device_put(
-        rng.integers(0, 4, n, dtype=np.uint8)
-    )
+    def meas(f, args):
+        float(f(*args))
+        best = 1e9
+        for _ in range(2):
+            s = _sync_cost()
+            t0 = time.perf_counter()
+            reps = 4
+            for _ in range(reps):
+                float(f(*args))
+            d = ((time.perf_counter() - t0) / reps - s) / K
+            best = min(best, d)
+        return max(best, 1e-9)
+
     thr_mod = jax.device_put(np.full((m, 4), 0.5, np.float32))
     thr_can = jax.device_put(np.full(4, 0.5, np.float32))
-    if _pallas_ok():
-        from modkit_tpu.ops.pallas_state import threshold_state_pallas
 
-        state_kernel_name = "pallas"
+    # ---- threshold-state stage (XLA elementwise over probs rows) ----
+    from modkit_tpu.ops.pileup_counts import threshold_states
 
-        def run_state():
-            return threshold_state_pallas(
-                quals_t, present, zeros, base, thr_mod, thr_can
-            )
-    else:
-        state_kernel_name = "xla"
-        quals_nm = jax.device_put(
-            np.ascontiguousarray(np.asarray(quals_t).T)
-        )
+    probs_host = rng.random((n, m), dtype=np.float32)
+    base_host = rng.integers(0, 4, n).astype(np.int32)
+    pstack = jax.device_put(
+        np.stack([np.roll(probs_host, k, axis=0) for k in range(K)])
+    )
+    base_d = jax.device_put(base_host)
 
-        def run_state():
-            return threshold_state_from_quals(
-                quals_nm, present, zeros, base, thr_mod, thr_can
-            )
+    @jax.jit
+    def state_k(pstack, base_s, tm, tc):
+        def body(k, acc):
+            st, _ = threshold_states(pstack[k], base_s, tm, tc)
+            return acc + st.sum().astype(jnp.int32)
 
-    run_state().block_until_ready()
-    reps = 10
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = run_state()
-    out.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    pallas_eps = n / dt
-    pallas_bpe = m + 3 + 1  # u8 planes in + masks/base in + state out
-    pallas = {
-        "kernel": state_kernel_name,
-        "events_per_s": round(pallas_eps),
-        "bytes_per_event_hbm": pallas_bpe,
-        "pct_of_hbm_copy_bound": round(
-            100.0 * pallas_eps * pallas_bpe / (hbm_gbps * 1e9), 1
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    dt_state = meas(state_k, (pstack, base_d, thr_mod, thr_can))
+    state_eps = n / dt_state
+    state_bpe = 4 * m + 4 + 1  # f32 probs + i32 base in, u8 state out
+    state = {
+        "kernel": "xla elementwise (fused)",
+        "events_per_s": round(state_eps),
+        "bytes_per_event_hbm": state_bpe,
+        "pct_of_hbm_read_bound": round(
+            100.0 * state_eps * state_bpe / (hbm_gbps * 1e9), 1
         ),
-        # end-to-end offload ceiling: compact u8 transfer up + 1 B down
-        "link_bound_events_per_s": round(link_bw / (pallas_bpe)),
+        "link_bound_events_per_s": round(link_bw / (m + 3 + 1)),
     }
 
-    # ---- pileup count aggregation ----
-    # SURVEY §7 "pileup_scatter": the Pallas one-hot-matmul kernel
-    # (ops/pallas_counts.py) replaces the XLA scatter-add (1.1% of the
-    # copy bound in BENCH_r03). Measured two ways: the count matmul
-    # kernel alone, and the full device pipeline (threshold-state ->
-    # counter/col -> count matmul -> count-tensor decode), both with
-    # device-resident inputs and byte-equality asserted first.
+    # ---- pileup count kernel + pipeline ----
+    # SURVEY §7 "pileup_scatter": the rep8-int8 one-hot-matmul kernel
+    # (ops/pallas_counts.py). Byte-equality vs the numpy oracle asserted
+    # first, then fetch-forced rates for the count matmul alone (distinct
+    # col planes) and the full pipeline (distinct probs).
     p = 100_000
     rpos = rng.integers(0, p, n).astype(np.int32)
     strand = rng.integers(0, 2, n).astype(np.int32)
     base32 = rng.integers(0, 4, n).astype(np.int32)
     probs = rng.random((n, m), dtype=np.float32)
     from modkit_tpu.ops.pallas_counts import (
-        _count_call, _counts_from_prepared, modcall_counts_pallas,
-        prepare_events,
+        CHUNK, REP, _count_call, _counts_from_prepared,
+        modcall_counts_pallas, prepare_events,
     )
     from modkit_tpu.ops.pileup_counts import modcall_counts_numpy
 
@@ -149,55 +205,101 @@ def _kernel_rooflines(link_bw):
         base32.astype(np.int64), probs, thr_mod, thr_can, p, m,
     )
     counts_equal = bool(np.array_equal(got, want))
+    _, c2g, p2, colb, valid, base_s, probs_s, visited = prep
+    km = 1 + 4 * (m + 1)
+    counter = ((p2.astype(np.int32) * 13 + colb // plan["kc"]) % km).astype(
+        np.int32
+    )
+    n_chunks = len(c2g)
+
+    def rep8(plane):
+        return np.repeat(
+            plane.reshape(n_chunks, 1, CHUNK).astype(np.uint8), REP, axis=1
+        ).reshape(n_chunks * REP, CHUNK)
+
+    cols = np.stack(
+        [
+            rep8(
+                np.where(
+                    valid != 0, colb + ((counter + k) % km), 255
+                ).astype(np.uint8)
+            )
+            for k in range(K)
+        ]
+    )
+    c2g_d = jax.device_put(c2g)
+    p2r_d = jax.device_put(rep8(p2))
+    cols_d = jax.device_put(cols)
+    ng = plan["n_groups"]
+
+    @jax.jit
+    def kernel_k(c2g, p2r, cols):
+        def body(k, acc):
+            out = _count_call(
+                c2g, p2r, cols[k], n_groups=ng, interpret=False
+            )
+            return acc + out.sum()
+
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    dt_kernel = meas(kernel_k, (c2g_d, p2r_d, cols_d))
+
     dev = [jax.device_put(x) for x in prep[1:]]
-    c2g_d, p2_d, colb_d, valid_d, base_d, probs_d, visited_d = dev
-    tm_d = jax.device_put(thr_mod)
-    tc_d = jax.device_put(thr_can)
-    kw = dict(
-        n_groups=plan["n_groups"], kc=plan["kc"], w=plan["w"],
-        interpret=False,
+    c2g_d2, p2_d, colb_d, valid_d, base_d2, _probs_d, visited_d = dev
+    pstack2 = jax.device_put(
+        np.stack([np.roll(probs_s, k, axis=0) for k in range(K)])
     )
+    kw = dict(n_groups=ng, kc=plan["kc"], w=plan["w"], interpret=False)
 
-    def time_fn(fn):
-        fn().block_until_ready()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        out.block_until_ready()
-        return (time.perf_counter() - t0) / reps
+    @jax.jit
+    def pipe_k(c2g, p2, colb, valid, base_s, pstack, vis, tm, tc):
+        def body(k, acc):
+            out = _counts_from_prepared(
+                c2g, p2, colb, valid, base_s, pstack[k], vis, tm, tc, **kw
+            )
+            return acc + out.sum()
 
-    dt_kernel = time_fn(
-        lambda: _count_call(
-            c2g_d, p2_d, colb_d, valid_d.astype(np.int32),
-            n_groups=plan["n_groups"], interpret=False,
-        )
+        return jax.lax.fori_loop(0, K, body, jnp.int32(0))
+
+    dt_pipe = meas(
+        pipe_k,
+        (c2g_d2, p2_d, colb_d, valid_d, base_d2, pstack2, visited_d,
+         thr_mod, thr_can),
     )
-    dt_pipe = time_fn(
-        lambda: _counts_from_prepared(
-            c2g_d, p2_d, colb_d, valid_d, base_d, probs_d, visited_d,
-            tm_d, tc_d, **kw,
-        )
-    )
-    out_amort = plan["n_groups"] * 128 * 128 * 4 / max(len(np.asarray(p2_d)), 1)
-    kernel_bpe = 12 + out_amort  # 3 i32 planes in + amortized counts out
-    pipe_bpe = 4 * m + 16 + out_amort  # + probs/base/col math traffic
+    total = len(p2)
+    out_amort = ng * 128 * 128 * 4 / max(total, 1)
+    # rep8 planes: 2 x REP u8 per event read by the kernel
+    kernel_bpe = 2 * REP + out_amort
+    # pipeline touches: probs f32 + base i32 + compact planes + the rep8
+    # expansion (write + read) + counts out
+    pipe_bpe = 4 * m + 4 + 3 + 2 * (2 * REP) + out_amort
     k_eps = n / dt_kernel
     p_eps = n / dt_pipe
+    # per-event MXU work of the one-hot contraction: (P2 + pad) x NL MACs
+    macs_per_event = 128 * 128 * (total / n)
     count = {
-        "kernel": "pallas one-hot matmul (MXU)",
+        "kernel": "pallas rep8-int8 one-hot matmul (MXU)",
         "matmul_events_per_s": round(k_eps),
-        "matmul_pct_of_hbm_copy_bound": round(
+        "matmul_pct_of_hbm_read_bound": round(
             100.0 * k_eps * kernel_bpe / (hbm_gbps * 1e9), 1
         ),
+        # int8 MAC rate = 2x the measured bf16 MAC rate (tflops/2 MAC/s)
+        "matmul_pct_of_int8_mxu_ceiling": round(
+            100.0 * k_eps * macs_per_event / (mxu_tflops * 1e12), 1
+        ),
         "pipeline_events_per_s": round(p_eps),
-        "pipeline_pct_of_hbm_copy_bound": round(
+        "pipeline_pct_of_hbm_read_bound": round(
             100.0 * p_eps * pipe_bpe / (hbm_gbps * 1e9), 1
         ),
         "outputs_equal_numpy_oracle": counts_equal,
     }
     return {
-        "hbm_copy_GBps": round(hbm_gbps, 1),
-        "pallas_threshold_state": pallas,
+        "measurement": "fetch-forced (block_until_ready does not wait on "
+        "this backend; see BASELINE.md round-5 methodology note)",
+        "fetch_round_trip_ms": round(sync * 1e3, 2),
+        "hbm_read_GBps": round(hbm_gbps, 1),
+        "mxu_bf16_tflops": round(mxu_tflops, 1),
+        "pallas_threshold_state": state,
         "pileup_count_kernel": count,
     }
 

@@ -721,11 +721,12 @@ def cmd_adjust_mods(args) -> int:
                 "when using stdin stream"
             )
         else:
-            from .io.bam import BamReader
+            from .io.cram import open_alignment_reader
             from .thresholds import estimate_thresholds
 
             per_base = estimate_thresholds(
-                BamReader(args.in_bam), num_reads=args.num_reads,
+                open_alignment_reader(args.in_bam),
+                num_reads=args.num_reads,
                 sample_frac=args.sampling_frac, seed=args.seed,
                 filter_percentile=args.filter_percentile,
                 collapse=methods, edge_filter=edge_filter,
@@ -762,10 +763,12 @@ def cmd_call_mods(args) -> int:
                 "must specify all thresholds with --filter-threshold and "
                 "(optionally) --mod-threshold when using stdin stream"
             )
+        from .io.cram import open_alignment_reader
         from .thresholds import estimate_thresholds
 
         per_base = estimate_thresholds(
-            BamReader(args.in_bam), num_reads=args.num_reads,
+            open_alignment_reader(args.in_bam),
+            num_reads=args.num_reads,
             sample_frac=args.sampling_frac, seed=args.seed,
             include_unmapped=args.include_unmapped,
             filter_percentile=args.filter_percentile,
@@ -844,11 +847,12 @@ def cmd_extract(args) -> int:
             default = ft.pop("default", 0.0)
             caller = ThresholdCaller(ft, per_mod, default)
         else:
-            from .io.bam import BamReader
+            from .io.cram import open_alignment_reader
             from .thresholds import estimate_thresholds
 
             per_base = estimate_thresholds(
-                BamReader(args.in_bam), num_reads=args.num_reads,
+                open_alignment_reader(args.in_bam),
+                num_reads=args.num_reads,
                 sample_frac=args.sampling_frac, seed=args.seed,
                 include_unmapped=True,
                 filter_percentile=args.filter_percentile,

@@ -199,12 +199,15 @@ def adjust_modbam(
 
     from .. import native as _native
 
+    from ..io.cram import is_cram, open_alignment_reader
+
     if (
         not fail_fast
         and not output_sam
         and in_bam not in ("-", "stdin")
         and force_mm_style in (None, "MM")
         and _native.available()
+        and not is_cram(in_bam)
     ):
         return _adjust_modbam_native(
             in_bam, out_bam, collapse_methods, caller, edge_filter,
@@ -212,7 +215,11 @@ def adjust_modbam(
             force_mm_style,
         )
 
-    reader = BamReader(in_bam)
+    reader = (
+        BamReader(in_bam)
+        if in_bam in ("-", "stdin")
+        else open_alignment_reader(in_bam)
+    )
     errors = ErrorTally()
     seq_motifs = SequenceMotifs(motifs) if motifs else None
     n = 0

@@ -684,8 +684,11 @@ def run_entropy(args) -> int:
 
     # --io-threads: BGZF inflate workers per BAM (the reference's htslib
     # tpool, entropy/subcommand.rs io_threads)
+    from ..io.cram import open_alignment_reader
+
     readers = [
-        BamReader(p, io_threads=args.io_threads) for p in args.in_bam
+        open_alignment_reader(p, args.ref, io_threads=args.io_threads)
+        for p in args.in_bam
     ]
     header = readers[0].header
     fasta = FastaReader(args.ref)

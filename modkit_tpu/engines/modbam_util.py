@@ -178,7 +178,9 @@ class TagViews:
 
 
 def run_check_tags(args) -> int:
-    reader = BamReader(args.in_bam)
+    from ..io.cram import open_alignment_reader
+
+    reader = open_alignment_reader(args.in_bam)
     views = TagViews()
     n = 0
     # indexed region fetch unless --ignore-index forces the linear scan

@@ -117,7 +117,11 @@ def run_pileup_hemi(args) -> int:
     from ..modcodes import parse_mod_code
     from ..pileup.runner import parse_region
 
-    reader = BamReader(args.in_bam)
+    from ..io.cram import open_alignment_reader
+
+    reader = open_alignment_reader(
+        args.in_bam, getattr(args, 'reference_fasta', None)
+    )
     header = reader.header
     fasta = FastaReader(args.ref)
 

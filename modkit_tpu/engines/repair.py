@@ -120,8 +120,10 @@ def repair_record_pair(donor, acceptor) -> bytes:
 
 
 def run_repair(args) -> int:
-    donor_reader = BamReader(args.donor)
-    acceptor_reader = BamReader(args.acceptor)
+    from ..io.cram import open_alignment_reader
+
+    donor_reader = open_alignment_reader(args.donor)
+    acceptor_reader = open_alignment_reader(args.acceptor)
     n_repaired = n_failed = 0
     with BamWriter(
         args.output, add_modkit_pg_records(acceptor_reader.header)

@@ -347,7 +347,9 @@ def run_validate(args) -> int:
     all_probs: dict[tuple, list] = {}
     for bam, bed_idxs in bam_to_beds.items():
         for bed_idx in bed_idxs:
-            reader = BamReader(bam)
+            from ..io.cram import open_alignment_reader
+
+            reader = open_alignment_reader(bam)
             gt = gt_list[bed_idx]
             for rec in reader.records():
                 if rec.is_unmapped or rec.is_not_primary:

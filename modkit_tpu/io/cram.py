@@ -616,6 +616,8 @@ class SliceDecoder:
         # per-series readers, created lazily
         self._readers: dict[bytes, object] = {}
         self._tag_readers: dict[int, object] = {}
+        self._ref_getter = ref_getter
+        self._cur_rid = None  # multi-ref: per-record reference switch
         if embedded_ref is not None:
             self._ref = embedded_ref
             self._ref_offset = self.start - 1
@@ -666,6 +668,13 @@ class SliceDecoder:
             cf = self._r(b"CF").read_int()
             if self.ref_id == -2:
                 ri = self._r(b"RI").read_int()
+                # multi-reference slice: resolve this record's reference
+                if ri != self._cur_rid:
+                    self._cur_rid = ri
+                    self._ref = (
+                        self._ref_getter(ri) if ri >= 0 else b""
+                    )
+                    self._ref_offset = 0
             else:
                 ri = self.ref_id
             rl = self._r(b"RL").read_int()
@@ -1041,9 +1050,11 @@ class CramReader:
         return cur.pos + length, ref, start, span, nrec
 
     def _native_decode_container(self, offset: int):
-        """Raw BAM record bytes via the native decoder (C++ rANS/gzip +
-        slice decode, byte-identical to SliceDecoder); None -> use the
-        Python path (native unavailable, rare codecs, multi-ref)."""
+        """Raw BAM record bytes via the native decoder (C++
+        gzip/rANS-4x8/bzip2/lzma codecs + slice decode, byte-identical to
+        SliceDecoder, incl. multi-reference containers via a lazy ref
+        callback); None -> use the Python path (native unavailable or an
+        unsupported codec)."""
         from .. import native as _native
 
         if not _native.available():
@@ -1051,13 +1062,17 @@ class CramReader:
         cur = Cursor(self._data, offset + 4)
         ref = cur.itf8()
         ref_bytes = None
-        if ref >= 0:
+        get_ref = None
+        if ref == -2:
+            # multi-reference container: per-record RI lookup in C++
+            get_ref = self._get_ref
+        elif ref >= 0:
             try:
                 ref_bytes = self._get_ref(ref)
             except ValueError:
                 return None  # no FASTA: python path handles embedded refs
         return _native.cram_decode_container(
-            self._data, offset, ref_bytes, self._rg_ids
+            self._data, offset, ref_bytes, self._rg_ids, get_ref=get_ref
         )
 
     def _decode_all(self) -> list[BamRecord]:
@@ -1236,11 +1251,12 @@ def is_cram(path: str) -> bool:
         return fh.read(4) == b"CRAM"
 
 
-def open_alignment_reader(path: str, reference_fasta: str | None = None):
+def open_alignment_reader(path: str, reference_fasta: str | None = None,
+                          io_threads: int | None = None):
     """BamReader or CramReader by file magic (the modkit CLI accepts both
     transparently, command_utils.rs:212)."""
     if is_cram(path):
         return CramReader(path, reference_fasta)
     from .bam import BamReader
 
-    return BamReader(path)
+    return BamReader(path, io_threads=io_threads)

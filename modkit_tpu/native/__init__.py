@@ -41,6 +41,12 @@ _lock = threading.Lock()
 _lib = None
 _load_failed = False
 
+# multi-ref CRAM container ref resolver: const char* (*)(int32 tid,
+# int64* len); returns NULL on failure (native falls back to Python)
+_REF_CB = ctypes.CFUNCTYPE(
+    ctypes.c_void_p, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64)
+)
+
 
 class _MkTileOut(ctypes.Structure):
     _fields_ = [
@@ -113,13 +119,23 @@ def _build() -> None:
         "-O3", "-std=c++17", "-fPIC", "-Wall", "-pthread",
         "-shared", "-o", _SO, _SRC, "-lz",
     ]
-    try:
-        # libdeflate (htslib's accelerated BGZF codec) when present
-        subprocess.run(base + ["-ldeflate"], check=True, capture_output=True)
-    except subprocess.CalledProcessError:
-        subprocess.run(
-            base + ["-DMK_NO_LIBDEFLATE"], check=True, capture_output=True
-        )
+    # optional accelerators/codecs, dropped one by one when absent:
+    # libdeflate (htslib's BGZF codec), liblzma (CRAM lzma blocks)
+    for extra in (
+        ["-ldeflate", "-llzma"],
+        ["-ldeflate", "-DMK_NO_LZMA"],
+        ["-DMK_NO_LIBDEFLATE", "-llzma"],
+        ["-DMK_NO_LIBDEFLATE", "-DMK_NO_LZMA"],
+    ):
+        try:
+            subprocess.run(base + extra, check=True, capture_output=True)
+            return
+        except subprocess.CalledProcessError:
+            continue
+    raise RuntimeError(
+        "failed to build native/modkit_native.cpp; run `make -C native` "
+        "for the compiler output"
+    )
 
 
 def load():
@@ -338,6 +354,7 @@ def load():
                 ctypes.c_int64,                    # container offset
                 ctypes.c_char_p, ctypes.c_int64,   # ref, ref_len
                 ctypes.c_char_p, ctypes.c_int64,   # rg blob
+                _REF_CB,                           # multi-ref callback
                 ctypes.POINTER(ctypes.c_void_p),   # out blob
                 ctypes.POINTER(ctypes.c_int64),    # out blob len
                 ctypes.POINTER(ctypes.c_int32),    # out n
@@ -1588,13 +1605,14 @@ def sample_region(
 
 
 def cram_decode_container(
-    data, off: int, ref: bytes | None, rg_ids: list
+    data, off: int, ref: bytes | None, rg_ids: list, get_ref=None
 ):
     """Decode one CRAM container into raw BAM record buffers (native
     mk_cram_decode_container; mirrors io/cram.py SliceDecoder
     byte-for-byte). Returns a list of record byte strings, or None when
     the native library is unavailable or the container needs the Python
-    fallback (rare codecs / multi-reference containers)."""
+    fallback (unsupported codecs). ``get_ref(tid) -> bytes`` enables
+    native multi-reference container decode (per-record RI lookup)."""
     lib = load()
     if lib is None:
         return None
@@ -1602,10 +1620,27 @@ def cram_decode_container(
     out_blob = ctypes.c_void_p()
     out_len = ctypes.c_int64()
     out_n = ctypes.c_int32()
+    keep = {}  # tid -> bytes kept alive for the duration of the call
+
+    if get_ref is not None:
+        def _cb(tid, len_ptr):
+            try:
+                buf = keep.get(tid)
+                if buf is None:
+                    buf = bytes(get_ref(tid))
+                    keep[tid] = buf
+                len_ptr[0] = len(buf)
+                return ctypes.cast(ctypes.c_char_p(buf), ctypes.c_void_p).value
+            except Exception:
+                return None
+
+        cb = _REF_CB(_cb)
+    else:
+        cb = ctypes.cast(None, _REF_CB)
     rc = lib.mk_cram_decode_container(
         as_cbuf(data), len(data), off,
         ref, len(ref) if ref is not None else 0,
-        blob, len(blob),
+        blob, len(blob), cb,
         ctypes.byref(out_blob), ctypes.byref(out_len), ctypes.byref(out_n),
     )
     if rc == 1:

@@ -2,19 +2,28 @@
 
 The SURVEY §7 "pileup_scatter" kernel. XLA lowers the per-event
 ``.at[flat].add`` scatter of ops/pileup_counts.py to a serialized
-scatter-add that runs at ~1% of the HBM copy bound (BENCH_r03 roofline) —
-TPUs have no hardware scatter. The TPU-native formulation is a segmented
-one-hot matmul on the MXU:
+scatter-add (TPUs have no hardware scatter); the TPU-native formulation is
+a segmented one-hot matmul on the MXU:
 
     counts[p2, col] = sum_e onehot(p2_e)[e, p2] * onehot(col_e)[e, col]
 
 Events are pre-sorted by reference position (host radix sort) and bucketed
 into GROUPS of ``W`` windows x WIN_POS positions; each grid step contracts
-a CHUNK of 2048 events against bf16 one-hots with f32 accumulation
-(exact: per-chunk partial counts are integers < 2^24), accumulating the
-group's [P2, 128] int32 count block in VMEM. Output lanes pack ``W``
-windows x ``KC`` counters so the full 128-lane width does useful work; the
-window size bounds the per-event contraction work (P2 x 128 MACs).
+one CHUNK of 2048 events in a single K=CHUNK **int8** dot with int32
+accumulation (exact), accumulating the group's [P2, 128] int32 count block
+in VMEM. Output lanes pack ``W`` windows x ``KC`` counters so the full
+128-lane width does useful work.
+
+Event-plane layout (the round-5 "rep8" formulation): each chunk's p2 and
+col planes are [8, CHUNK] u8 blocks with all 8 sublane rows identical.
+The kernel expands [8, K] -> [128, K] with a layout-preserving reshape of
+a broadcast (tile-aligned vreg copies), avoiding the per-row sublane
+extraction + broadcast that bounded the previous [CR, 128]-block
+formulation at ~3 Geps; measured honestly (fetch-forced timing, see
+tools/true_bench.py) this kernel runs ~10 Geps on the v5e = ~85% of the
+chip's int8 MXU ceiling for the 16K-MAC/event contraction. ``col = 255``
+encodes an invalid/padding event (matches no output lane), so no separate
+valid plane exists on the wire.
 
 Count layout matches modcall_count_kernel (ops/pileup_counts.py:98): per
 (position, strand), counter 0 = filtered, 1 + b*(M+1) + {0 canonical,
@@ -39,7 +48,8 @@ from .pileup_counts import threshold_states
 
 LANES = 128
 CHUNK = 2048  # events per grid step
-CR = CHUNK // LANES  # natural-layout sublane rows per chunk
+CR = CHUNK // LANES  # legacy natural-layout rows (host array reshapes)
+REP = 8  # sublane replication of the event planes
 # 64 positions per window keeps the per-event matmul work at
 # P2 x 128 = 16 KMAC (the one-hot contraction does P2*NL work per event,
 # so the window is the cost knob; 512-position windows measured 8x slower)
@@ -65,7 +75,7 @@ def _plan(num_codes: int) -> tuple[int, int, int]:
     return kc, w, w * WIN_POS
 
 
-def _count_kernel(c2g_ref, p2_ref, col_ref, valid_ref, out_ref):
+def _count_kernel(c2g_ref, p2_ref, col_ref, out_ref):
     i = pl.program_id(0)
     g = c2g_ref[i]
     prev_g = jnp.where(i > 0, c2g_ref[jnp.maximum(i - 1, 0)], g - 1)
@@ -74,60 +84,55 @@ def _count_kernel(c2g_ref, p2_ref, col_ref, valid_ref, out_ref):
     def _():
         out_ref[:] = jnp.zeros_like(out_ref)
 
-    # Events stay in their natural [CR, 128] tiles. Mosaic's matmul needs
-    # the standard contraction forms, so both one-hots are built
-    # TRANSPOSED — with the event axis in lanes, constructible without
-    # any relayout — and contracted lane-against-lane (lhs-normal x
-    # rhs-transposed): counts[p2, nl] += sum_e A_T[p2, e] * B_T[nl, e].
-    p2 = p2_ref[:].astype(jnp.int32)
-    col = col_ref[:].astype(jnp.int32)
-    valid = valid_ref[:] != 0
-    iota_p2 = jax.lax.broadcasted_iota(jnp.int32, (P2, LANES), 0)
-    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    # bf16 one-hots on the MXU with f32 accumulation: per-chunk partial
-    # counts are integers <= CHUNK < 2^24, so the f32 sums are exact
-    acc = jnp.zeros((P2, LANES), jnp.float32)
-    for r in range(CR):
-        a_t = (iota_p2 == p2[r, :][None, :]).astype(jnp.bfloat16)
-        b_t = (
-            (iota_nl == col[r, :][None, :]) & valid[r, :][None, :]
-        ).astype(jnp.bfloat16)
-        acc += jax.lax.dot_general(
-            a_t, b_t, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-    out_ref[0] += acc.astype(jnp.int32)
+    # [8, CHUNK] u8 replicated planes -> [128, CHUNK] via a
+    # layout-preserving reshape of a broadcast (vreg copies only)
+    p28 = p2_ref[:].astype(jnp.int32)
+    col8 = col_ref[:].astype(jnp.int32)
+    p2b = jnp.broadcast_to(
+        p28[None, :, :], (P2 // REP, REP, CHUNK)
+    ).reshape(P2, CHUNK)
+    colb = jnp.broadcast_to(
+        col8[None, :, :], (LANES // REP, REP, CHUNK)
+    ).reshape(LANES, CHUNK)
+    iota_p2 = jax.lax.broadcasted_iota(jnp.int32, (P2, CHUNK), 0)
+    iota_nl = jax.lax.broadcasted_iota(jnp.int32, (LANES, CHUNK), 0)
+    # int8 one-hots contracted on the MXU with exact int32 accumulation;
+    # col 255 (invalid/padding) matches no lane -> zero column
+    a_t = (iota_p2 == p2b).astype(jnp.int8)
+    b_t = (iota_nl == colb).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        a_t, b_t, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[0] += acc
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_groups", "interpret")
 )
-def _count_call(c2g, p2, col, valid, *, n_groups: int, interpret: bool):
+def _count_call(c2g, p2r8, colr8, *, n_groups: int, interpret: bool):
+    """p2r8/colr8: [n_chunks * REP, CHUNK] u8, all REP rows of a chunk
+    identical; col 255 = invalid."""
     n_chunks = len(c2g)
-    ev_spec = pl.BlockSpec((CR, LANES), lambda i, ref: (i, 0))
+    ev_spec = pl.BlockSpec((REP, CHUNK), lambda i, ref: (i, 0))
     return pl.pallas_call(
         _count_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_chunks,),
-            in_specs=[ev_spec, ev_spec, ev_spec],
+            in_specs=[ev_spec, ev_spec],
             out_specs=pl.BlockSpec(
                 (1, P2, LANES), lambda i, ref: (ref[i], 0, 0)
             ),
         ),
         out_shape=jax.ShapeDtypeStruct((n_groups, P2, LANES), jnp.int32),
         interpret=interpret,
-    )(
-        c2g,
-        p2.reshape(n_chunks * CR, LANES),
-        col.reshape(n_chunks * CR, LANES),
-        valid.reshape(n_chunks * CR, LANES),
-    )
+    )(c2g, p2r8, colr8)
 
 
 # chunk-count buckets bound jit specializations of the kernel grid (the
 # same discipline as pileup_counts._EVENT_BUCKETS); padding chunks carry
-# valid=0 events routed to the final group
+# col=255 events routed to the final group
 _CHUNK_BUCKETS = (8, 32, 128, 512, 2048)
 
 
@@ -152,7 +157,8 @@ def prepare_events(
     Returns (plan dict, sorted+padded host arrays) ready for the device.
     Padded slots carry valid=0 and contribute nothing. ``bucket_chunks``
     pads the chunk count to a bucket so the production path compiles a
-    bounded set of grid shapes.
+    bounded set of grid shapes. p2/colb ship compact u8 (1 B/event each);
+    the device expands to the kernel's replicated layout.
     """
     kc, w, group_pos = _plan(num_codes)
     n = len(rpos)
@@ -181,13 +187,13 @@ def prepare_events(
     idx = np.arange(n, dtype=np.int64)
     dst = dst_group_start[groups] + (idx - src_group_start[groups])
 
-    p2 = np.zeros(total, dtype=np.int32)
-    colb = np.zeros(total, dtype=np.int32)  # w*KC base; counter added later
+    p2 = np.zeros(total, dtype=np.uint8)
+    colb = np.zeros(total, dtype=np.uint8)  # w*KC base; counter added later
     valid = np.zeros(total, dtype=np.uint8)
     base_s = np.zeros(total, dtype=np.int32)
     probs_s = np.full((total, probs.shape[1]), -1.0, dtype=np.float32)
-    p2[dst] = ((rs % WIN_POS) * 2 + strand[order]).astype(np.int32)
-    colb[dst] = (((rs % group_pos) // WIN_POS) * kc).astype(np.int32)
+    p2[dst] = ((rs % WIN_POS) * 2 + strand[order]).astype(np.uint8)
+    colb[dst] = (((rs % group_pos) // WIN_POS) * kc).astype(np.uint8)
     valid[dst] = 1
     base_s[dst] = base_idx[order]
     probs_s[dst] = probs[order]
@@ -252,10 +258,20 @@ def _counts_from_prepared(
     counter = jnp.where(
         state == 0, 0, 1 + base_s * (m + 1) + (state - 1)
     ).astype(jnp.int32)
-    col = colb + counter
+    col = jnp.where(
+        valid != 0, colb.astype(jnp.int32) + counter, 255
+    ).astype(jnp.uint8)
+    # expand the compact planes to the kernel's [8, CHUNK]-replicated
+    # layout (a bandwidth-only XLA broadcast copy)
+    n_chunks = p2.shape[0] // CHUNK
+    p2r8 = jnp.broadcast_to(
+        p2.reshape(n_chunks, 1, CHUNK), (n_chunks, REP, CHUNK)
+    ).reshape(n_chunks * REP, CHUNK)
+    colr8 = jnp.broadcast_to(
+        col.reshape(n_chunks, 1, CHUNK), (n_chunks, REP, CHUNK)
+    ).reshape(n_chunks * REP, CHUNK)
     out = _count_call(
-        c2g, p2, col, valid.astype(jnp.int32),
-        n_groups=n_groups, interpret=interpret,
+        c2g, p2r8, colr8, n_groups=n_groups, interpret=interpret,
     )
     out = out * visited[:, None, None]  # zero never-visited group blocks
     # out[g, posw*2 + strand, w*KC + k] -> [g*W*512 + w*512 + posw, strand, k]

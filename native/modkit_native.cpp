@@ -36,6 +36,10 @@
 #include <thread>
 #include <unordered_map>
 #include <unordered_set>
+#include <dlfcn.h>
+#ifndef MK_NO_LZMA
+#include <lzma.h>
+#endif
 #include <vector>
 
 #if !defined(MK_NO_LIBDEFLATE) && __has_include(<libdeflate.h>)
@@ -3866,8 +3870,37 @@ static int read_cblock(CCur& c, CBlock& b) {
 #endif
   } else if (method == 4) {  // rANS 4x8
     if (!rans4x8(payload, comp_size, b.data)) return -1;
+  } else if (method == 2) {  // bzip2 (via dlopen: no dev package here)
+    typedef int (*Bz2Fn)(char*, unsigned int*, char*, unsigned int, int,
+                         int);
+    static Bz2Fn bz2 = []() -> Bz2Fn {
+      void* h = dlopen("libbz2.so.1", RTLD_LAZY);
+      if (h == nullptr) h = dlopen("libbz2.so", RTLD_LAZY);
+      return h ? (Bz2Fn)dlsym(h, "BZ2_bzBuffToBuffDecompress") : nullptr;
+    }();
+    if (bz2 == nullptr) return -2;  // python fallback
+    b.data.resize((size_t)raw_size);
+    unsigned int dlen = (unsigned int)raw_size;
+    if (bz2((char*)b.data.data(), &dlen, (char*)payload,
+            (unsigned int)comp_size, 0, 0) != 0 ||
+        (int64_t)dlen != raw_size)
+      return -1;
+  } else if (method == 3) {  // lzma (.xz stream, as htslib writes)
+#ifdef MK_NO_LZMA
+    return -2;
+#else
+    b.data.resize((size_t)raw_size);
+    uint64_t memlimit = UINT64_MAX;
+    size_t in_pos = 0, out_pos = 0;
+    if (lzma_stream_buffer_decode(&memlimit, 0, nullptr, payload,
+                                  &in_pos, (size_t)comp_size,
+                                  b.data.data(), &out_pos,
+                                  (size_t)raw_size) != LZMA_OK ||
+        (int64_t)out_pos != raw_size)
+      return -1;
+#endif
   } else {
-    return -2;  // bzip2 / lzma / rans-Nx16 etc: python fallback
+    return -2;  // rans-Nx16 etc: python fallback
   }
   if ((int64_t)b.data.size() != raw_size) return -1;
   return 0;
@@ -4235,9 +4268,12 @@ static void encode_bam(const DecRec& f, std::string& out) {
 // reference sequence (uppercased by the caller), or NULL when absent.
 // rg_blob: '\n'-joined read-group IDs. rc: 0 ok; 1 python-fallback
 // (unsupported codec/layout); 2 corrupt.
+typedef const char* (*MkRefCb)(int32_t tid, int64_t* len);
+
 int32_t mk_cram_decode_container(
     const uint8_t* data, int64_t data_len, int64_t off, const char* ref,
     int64_t ref_len, const char* rg_blob, int64_t rg_blob_len,
+    MkRefCb ref_cb,
     uint8_t** out_blob, int64_t* out_blob_len, int32_t* out_n) {
   using namespace cram;
   *out_blob = nullptr;
@@ -4270,7 +4306,9 @@ int32_t mk_cram_decode_container(
   c.skip(4);       // crc
   if (c.fail) return 2;
   if (nrec == 0) return 0;
-  if (cont_ref == -2) return 1;  // multi-ref container: python fallback
+  // multi-reference containers decode natively when a ref callback is
+  // provided (per-record RI series resolves the reference lazily)
+  if (cont_ref == -2 && ref_cb == nullptr) return 1;
   std::vector<CBlock> blocks((size_t)nblocks);
   for (int64_t i = 0; i < nblocks; ++i) {
     int rc = read_cblock(c, blocks[(size_t)i]);
@@ -4301,7 +4339,7 @@ int32_t mk_cram_decode_container(
     sh.array_itf8();  // content ids
     int64_t embedded_ref_id = sh.itf8();
     if (sh.fail) return 2;
-    if (s_ref == -2) return 1;
+    if (s_ref == -2 && ref_cb == nullptr) return 1;
 
     CBits core;
     std::map<int64_t, CCur> external;
@@ -4367,12 +4405,27 @@ int32_t mk_cram_decode_container(
     std::vector<DecRec> frecs;
     frecs.reserve((size_t)s_nrec);
     int64_t last_pos = s_start - 1;
+    int64_t cur_rid = INT64_MIN;
     std::vector<uint8_t> tmp;
     for (int64_t ri = 0; ri < s_nrec; ++ri) {
       DecRec f;
       int64_t bf = R("BF").read_int();
       int64_t cf = R("CF").read_int();
       int64_t rid = (s_ref == -2) ? R("RI").read_int() : s_ref;
+      if (s_ref == -2 && rid != cur_rid) {
+        // multi-ref slice: resolve this record's reference lazily
+        cur_rid = rid;
+        sref = nullptr;
+        sref_len = 0;
+        ref_offset = 0;
+        if (rid >= 0) {
+          int64_t L = 0;
+          const char* pr = ref_cb((int32_t)rid, &L);
+          if (pr == nullptr) return 1;  // ref unavailable: python path
+          sref = (const uint8_t*)pr;
+          sref_len = L;
+        }
+      }
       int64_t rl = R("RL").read_int();
       int64_t ap = R("AP").read_int();
       int64_t pos0;
