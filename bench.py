@@ -473,6 +473,80 @@ def main():
     )
     assert ent_eq, "entropy engine != baseline-shape output"
 
+    # extract full: measured against the raw sequential-write ceiling
+    # (VERDICT r4 #4: extract is output-volume-bound — one TSV row per
+    # (read, position, code), ~200 KB of text per 5 kb read)
+    ext_out = os.path.join(tmp, "extract.tsv")
+    t0 = time.perf_counter()
+    cli_main([
+        "extract", "full", ent_bam, ext_out, "--force",
+        "--suppress-progress", "-t", "2",
+    ])
+    extract_wall = time.perf_counter() - t0
+    ext_bytes = os.path.getsize(ext_out)
+    _note(
+        f"extract full: {extract_wall:.1f}s, "
+        f"{ext_bytes / extract_wall / 1e6:.0f} MB/s"
+    )
+    # raw write ceiling: stream the same bytes back to disk
+    blob = open(ext_out, "rb").read(1 << 24)
+    t0 = time.perf_counter()
+    with open(os.path.join(tmp, "raw.bin"), "wb") as fh:
+        written = 0
+        while written < ext_bytes:
+            fh.write(blob)
+            written += len(blob)
+        fh.flush()
+        os.fsync(fh.fileno())
+    raw_write_wall = time.perf_counter() - t0
+    _note(f"raw write of same volume: {raw_write_wall:.1f}s")
+
+    # dmr single-site: measured against the tabix bedMethyl parse ceiling
+    # (the scoring math is closed-form; input parse is the structural
+    # bound). Build two pileup-derived bedMethyls from the entropy BAM.
+    from modkit_tpu.engines.dmr import SampleIndex, default_code_lookup
+    from modkit_tpu.io.tabix import bgzip_text, build_tabix
+
+    dmr_a = os.path.join(tmp, "dmr_a.bed")
+    cli_main(["pileup", ent_bam, dmr_a, "--no-filtering",
+              "--suppress-progress"])
+    for name in ("a", "b"):
+        gz = os.path.join(tmp, f"dmr_{name}.bed.gz")
+        bgzip_text(dmr_a, gz)
+        build_tabix(gz)
+    t0 = time.perf_counter()
+    cli_main([
+        "dmr", "pair", "-a", os.path.join(tmp, "dmr_a.bed.gz"),
+        "-b", os.path.join(tmp, "dmr_b.bed.gz"),
+        "-o", os.path.join(tmp, "dmr_out.bed"),
+        "--ref", ent_fa, "--base", "C", "-f", "--suppress-progress",
+    ])
+    dmr_wall = time.perf_counter() - t0
+    n_sites = sum(1 for _ in open(os.path.join(tmp, "dmr_out.bed")))
+    _note(f"dmr single-site: {dmr_wall:.1f}s, {n_sites} sites")
+    # parse-only ceiling: read + parse both samples' bedMethyl lines
+    # through the same SampleIndex fetch path, no scoring
+    si = SampleIndex(
+        [os.path.join(tmp, "dmr_a.bed.gz"),
+         os.path.join(tmp, "dmr_b.bed.gz")],
+        default_code_lookup(None),
+    )
+    contig = "synth1"
+    t0 = time.perf_counter()
+    n_lines = 0
+    for sid in (0, 1):
+        pos = 0
+        while pos < stats["contig_len"]:
+            n_lines += len(
+                si.read_lines(sid, contig, pos, pos + 1_000_000)
+            )
+            pos += 1_000_000
+    dmr_parse_wall = time.perf_counter() - t0
+    _note(
+        f"dmr parse-only ceiling: {dmr_parse_wall:.1f}s "
+        f"({n_lines} lines)"
+    )
+
     auto_out = open(os.path.join(tmp, "a0.bed")).read()
     forced_out = open(os.path.join(tmp, "d0.bed")).read()
     cpu_out = open(os.path.join(tmp, "c0.bed")).read()
@@ -512,6 +586,21 @@ def main():
                     "cpu_default_wall_s": round(best_cpu_default, 4),
                     "adjust_wall_s": round(best_adjust, 4),
                     "adjust_reads_per_s": round(n_reads / best_adjust, 1),
+                    "extract_wall_s": round(extract_wall, 4),
+                    "extract_reads_per_s": round(
+                        ent_reads / extract_wall, 1
+                    ),
+                    "extract_out_MBps": round(
+                        ext_bytes / extract_wall / 1e6, 1
+                    ),
+                    "extract_pct_of_raw_write_ceiling": round(
+                        100.0 * raw_write_wall / extract_wall, 1
+                    ),
+                    "dmr_single_site_wall_s": round(dmr_wall, 4),
+                    "dmr_sites_per_s": round(n_sites / dmr_wall, 1),
+                    "dmr_pct_of_parse_ceiling": round(
+                        100.0 * dmr_parse_wall / dmr_wall, 1
+                    ),
                     "entropy_wall_s": round(best_entropy, 4),
                     "entropy_reads_per_s": round(
                         ent_reads / best_entropy, 1

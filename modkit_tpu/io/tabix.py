@@ -87,6 +87,150 @@ class TabixIndex:
         return merged
 
 
+def bgzip_text(src, out_path: str, level: int = 6) -> str:
+    """BGZF-compress text (bytes or a file path) to ``out_path`` — the
+    `bgzip` step users need before tabix-indexing a bedMethyl."""
+    from .bgzf import BgzfWriter
+
+    data = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
+    w = BgzfWriter(out_path, level=level)
+    w.write(bytes(data))
+    w.close()
+    return out_path
+
+
+def build_tabix(
+    gz_path: str,
+    out_path: str | None = None,
+    col_seq: int = 1,
+    col_beg: int = 2,
+    col_end: int = 3,
+    meta: str = "#",
+    skip: int = 0,
+) -> str:
+    """Build a .tbi index for a BGZF-compressed BED-like text file — the
+    standalone equivalent of htslib's `tabix -p bed` that the reference's
+    dmr/stats/localize workflows assume the user has run
+    (dmr/subcommands.rs:33 "has an associated tabix index"). BED preset
+    defaults (htslib tbx_conf_bed: format 0x10000, columns 1/2/3, '#').
+    """
+    from .bgzf import BgzfWriter
+    from .bam import reg2bin
+
+    out_path = out_path or gz_path + ".tbi"
+    raw = open(gz_path, "rb").read()
+    names: list[str] = []
+    name_to_id: dict[str, int] = {}
+    bins: list[dict] = []
+    linear: list[dict] = []
+    coffset = 0
+    carry = b""
+    carry_vbeg = 0
+    meta_b = meta.encode()
+    n_skipped = 0
+
+    def handle(line: bytes, vbeg: int, vend: int):
+        nonlocal n_skipped
+        if not line or line.startswith(meta_b):
+            return
+        if n_skipped < skip:
+            n_skipped += 1
+            return
+        f = line.split(b"\t")
+        chrom = f[col_seq - 1].decode()
+        beg = int(f[col_beg - 1])
+        end = int(f[col_end - 1]) if col_end > 0 else beg + 1
+        if end <= beg:
+            end = beg + 1
+        rid = name_to_id.get(chrom)
+        if rid is None:
+            rid = name_to_id[chrom] = len(names)
+            names.append(chrom)
+            bins.append({})
+            linear.append({})
+        b = reg2bin(beg, end)
+        chunk_list = bins[rid].setdefault(b, [])
+        # merge adjacent chunks (consecutive lines) to keep indexes small
+        if chunk_list and chunk_list[-1][1] == vbeg:
+            chunk_list[-1][1] = vend
+        else:
+            chunk_list.append([vbeg, vend])
+        lin = linear[rid]
+        for w in range(beg >> 14, ((end - 1) >> 14) + 1):
+            cur = lin.get(w)
+            if cur is None or vbeg < cur:
+                lin[w] = vbeg
+
+    while coffset < len(raw):
+        if raw[coffset : coffset + 2] != b"\x1f\x8b":
+            raise ValueError(f"{gz_path}: not BGZF at offset {coffset}")
+        xlen = struct.unpack_from("<H", raw, coffset + 10)[0]
+        bsize = None
+        p = coffset + 12
+        end_x = p + xlen
+        while p < end_x:
+            si1, si2, slen = raw[p], raw[p + 1], struct.unpack_from(
+                "<H", raw, p + 2
+            )[0]
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", raw, p + 4)[0] + 1
+            p += 4 + slen
+        if bsize is None:
+            raise ValueError(f"{gz_path}: missing BGZF BC field")
+        comp = raw[coffset + 12 + xlen : coffset + bsize - 8]
+        data = zlib.decompress(comp, wbits=-15)
+        pos = 0
+        while True:
+            nl = data.find(b"\n", pos)
+            if nl < 0:
+                if pos < len(data) and not carry:
+                    carry_vbeg = (coffset << 16) | pos
+                carry += data[pos:]
+                break
+            vbeg = carry_vbeg if carry else (coffset << 16) | pos
+            line = carry + data[pos:nl]
+            carry = b""
+            handle(line, vbeg, (coffset << 16) | (nl + 1))
+            pos = nl + 1
+        coffset += bsize
+
+    names_blob = b"".join(n.encode() + b"\x00" for n in names)
+    out = bytearray()
+    out += b"TBI\x01"
+    out += struct.pack(
+        "<8i", len(names), 0x10000, col_seq, col_beg, col_end,
+        ord(meta), skip, len(names_blob),
+    )
+    out += names_blob
+    for rid in range(len(names)):
+        out += struct.pack("<i", len(bins[rid]))
+        for b in sorted(bins[rid]):
+            chunks = bins[rid][b]
+            out += struct.pack("<Ii", b, len(chunks))
+            for vb, ve in chunks:
+                out += struct.pack("<QQ", vb, ve)
+        lin = linear[rid]
+        n_intv = (max(lin) + 1) if lin else 0
+        out += struct.pack("<i", n_intv)
+        ioff = [0] * n_intv
+        for w, v in lin.items():
+            ioff[w] = v
+        # fill leading/interior zeros with the previous window's offset
+        # (htslib does this so query's walk-back terminates fast)
+        last = 0
+        for w in range(n_intv):
+            if ioff[w] == 0:
+                ioff[w] = last
+            else:
+                last = ioff[w]
+        for v in ioff:
+            out += struct.pack("<Q", v)
+    w = BgzfWriter(out_path)
+    w.write(bytes(out))
+    w.close()
+    return out_path
+
+
 class TabixFile:
     """Region fetch over a bgzipped, tabix-indexed text file
     (tabix.rs:77 HtsTabixHandler)."""
@@ -121,14 +265,17 @@ class TabixFile:
         zero_based = bool(self.index.format & 0x10000)
         for cbeg, cend in self.index.query_chunks(rid, start, end):
             buf = bytearray(self._bgzf.read_span(cbeg, cend))
-            # may need the tail of the last line
-            self._bgzf.seek_voffset(cend)
-            tail = self._bgzf.read(1 << 12)
-            while tail and b"\n" not in tail:
-                buf += tail
+            if not buf.endswith(b"\n"):
+                # chunk ends mid-line: complete the final line (line-aligned
+                # chunk ends — e.g. from build_tabix — must NOT pull in the
+                # next chunk's first line)
+                self._bgzf.seek_voffset(cend)
                 tail = self._bgzf.read(1 << 12)
-            if tail:
-                buf += tail.split(b"\n", 1)[0] + b"\n"
+                while tail and b"\n" not in tail:
+                    buf += tail
+                    tail = self._bgzf.read(1 << 12)
+                if tail:
+                    buf += tail.split(b"\n", 1)[0] + b"\n"
             for line in bytes(buf).split(b"\n"):
                 if not line or line.startswith(self.index.meta.encode()):
                     continue

@@ -40,8 +40,10 @@ import numpy as np
 # padding buckets to bound jit recompiles; the floor is 64k events — a
 # compile over a tunneled chip costs 20-100 s while padding a tiny event
 # set to 64k costs <1 ms of transfer, so fewer shapes wins (r3 weak #2:
-# 780 s forced-device warm-up from 6x6 shape buckets)
-_EVENT_BUCKETS = (1 << 16, 1 << 18, 1 << 20, 1 << 22)
+# 780 s forced-device warm-up from 6x6 shape buckets). Round 5: 3 buckets
+# (one fewer cold compile), with 2^21 sized so the 100 kb tile at 25x
+# (~1.25 M events) pads 1.7x instead of the old 1<<20->1<<22 cliff's 3.4x
+_EVENT_BUCKETS = (1 << 16, 1 << 21, 1 << 22)
 
 
 def round_up_events(n: int) -> int:
