@@ -124,9 +124,30 @@ def estimate_max_coverages(
     for chrom, lo, hi, positions in _iter_position_batches(
         genome_positions, contigs, interval_size
     ):
-        pos_set = set(positions)
+        pos_set = None
+        pos_keys = None
         for idxs, agg in ((a_idxs, a_agg), (b_idxs, b_agg)):
             for i in idxs:
+                cols = _collect_columns(sample_index, i, chrom, lo, hi)
+                if cols is not None:
+                    # columnar fast path (same per-LINE semantics)
+                    if pos_keys is None:
+                        pos_keys = np.fromiter(
+                            (
+                                p * 8 + (4 if st == "-" else 0)
+                                + _BASE_IDX[b]
+                                for p, st, b in positions
+                            ),
+                            dtype=np.int64, count=len(positions),
+                        )
+                        pos_keys.sort()
+                    if len(cols):
+                        keys = _row_keys(cols, sample_index.code_lookup)
+                        sel = np.isin(keys, pos_keys)
+                        agg.extend(cols[sel, 4].tolist())
+                    continue
+                if pos_set is None:
+                    pos_set = set(positions)
                 for l in sample_index.read_lines(i, chrom, lo, hi):
                     if (
                         l.get_stranded_position(sample_index.code_lookup)
@@ -242,6 +263,256 @@ def _header(multiple_samples: bool, matched_samples: bool) -> str:
     return "\t".join(fields) + "\n"
 
 
+def _collect_columns(sample_index, idx, chrom, lo, hi):
+    """[n, 6] i64 (start, code, strand01, n_mod, valid, canon) via the
+    native columnar bedMethyl parser; None -> Python fallback."""
+    from .. import native
+
+    h = sample_index.handlers[idx]
+    if not hasattr(h, "fetch_blob"):
+        return None
+    blob = h.fetch_blob(chrom, lo, hi)
+    return native.parse_bedmethyl_columns(
+        blob, chrom, lo, hi, sample_index.min_valid_coverage,
+        list(sample_index.code_lookup),
+    )
+
+
+_BASE_IDX = {"A": 0, "C": 1, "G": 2, "T": 3}
+_COMPL_IDX = {0: 3, 1: 2, 2: 1, 3: 0}
+
+
+def _row_keys(cols: np.ndarray, code_lookup) -> np.ndarray:
+    """Encoded stranded-position key per parsed row:
+    start*8 + strand01*4 + base_idx (base complemented on '-')."""
+    from ..modcodes import mod_code_sort_key
+    from ..native import _encode_mod_code
+
+    vocab = sorted(code_lookup, key=mod_code_sort_key)
+    code_enc = np.array([_encode_mod_code(c) for c in vocab], np.int64)
+    base_of = np.array(
+        [_BASE_IDX[code_lookup[c]] for c in vocab], np.int64
+    )
+    start, code, strand = cols[:, 0], cols[:, 1], cols[:, 2]
+    order_enc = np.argsort(code_enc)
+    ci = order_enc[
+        np.clip(
+            np.searchsorted(code_enc[order_enc], code), 0, len(vocab) - 1
+        )
+    ]
+    skey = (strand == 1).astype(np.int64)
+    b = base_of[ci]
+    b = np.where(skey == 1, np.array([3, 2, 1, 0])[b], b)
+    return start * 8 + skey * 4 + b
+
+
+def _site_table(cols: np.ndarray, code_lookup) -> tuple:
+    """Group a sample's parsed columns into per-site dense count rows.
+
+    Returns (keys_sorted [S], counts [S, C], present [S, C], totals [S],
+    code_vocab) where key = start*8 + strandkey*4 + base_idx and C is the
+    sorted code vocabulary. Sites failing the aggregate_counts validation
+    (mixed valid/canonical within a position, or canonical + mods !=
+    valid) are dropped, mirroring the scalar path's ValueError skip."""
+    from ..modcodes import complement, mod_code_sort_key
+    from ..native import _encode_mod_code
+
+    vocab = sorted(code_lookup, key=mod_code_sort_key)
+    code_enc = np.array(
+        [_encode_mod_code(c) for c in vocab], dtype=np.int64
+    )
+    base_of = np.array(
+        [_BASE_IDX[code_lookup[c]] for c in vocab], dtype=np.int64
+    )
+    if len(cols) == 0:
+        return (
+            np.zeros(0, np.int64), np.zeros((0, len(vocab)), np.int64),
+            np.zeros((0, len(vocab)), bool), np.zeros(0, np.int64), vocab,
+        )
+    start, code, strand, n_mod, valid, canon = cols.T
+    ci = np.searchsorted(np.sort(code_enc), code)
+    order_enc = np.argsort(code_enc)
+    ci = order_enc[np.clip(ci, 0, len(vocab) - 1)]
+    # (native parse already filtered to known codes)
+    skey = (strand == 1).astype(np.int64)  # '.' and '+' -> 0
+    b = base_of[ci]
+    b = np.where(skey == 1, np.array([3, 2, 1, 0])[b], b)
+    key = start * 8 + skey * 4 + b
+    order = np.lexsort((ci, key))
+    key_s, ci_s = key[order], ci[order]
+    n_mod_s, valid_s, canon_s = n_mod[order], valid[order], canon[order]
+    grp = np.flatnonzero(np.r_[True, key_s[1:] != key_s[:-1]])
+    gend = np.r_[grp[1:], len(key_s)]
+    keys = key_s[grp]
+    S, C = len(keys), len(vocab)
+    counts = np.zeros((S, C), dtype=np.int64)
+    present = np.zeros((S, C), dtype=bool)
+    gidx = np.repeat(np.arange(S), gend - grp)
+    np.add.at(counts, (gidx, ci_s), n_mod_s)
+    present[gidx, ci_s] = True
+    # validation (bedmethyl.py aggregate_counts): one distinct valid and
+    # canonical per site, canonical + sum(mods) == valid
+    vmin = np.full(S, np.iinfo(np.int64).max)
+    vmax = np.zeros(S, dtype=np.int64)
+    np.minimum.at(vmin, gidx, valid_s)
+    np.maximum.at(vmax, gidx, valid_s)
+    cmin = np.full(S, np.iinfo(np.int64).max)
+    cmax = np.zeros(S, dtype=np.int64)
+    np.minimum.at(cmin, gidx, canon_s)
+    np.maximum.at(cmax, gidx, canon_s)
+    ok = (vmin == vmax) & (cmin == cmax)
+    ok &= cmin + counts.sum(axis=1) == vmin
+    return keys[ok], counts[ok], present[ok], vmin[ok], vocab
+
+
+def _render_sites_fast(
+    chrom, keys, ca_counts, ca_present, ca_tot, cb_counts, cb_present,
+    cb_tot, vocab, estimator, out, segmenter,
+):
+    """Vectorized score + render for the single-sample-per-side path;
+    byte-identical rows to the scalar path."""
+    from ..ops.llk import llk_ratio_beta, llk_ratio_dirichlet
+    from ..writers import format_float
+    from ..bedmethyl import AggregatedCounts
+
+    S, C = ca_counts.shape
+    if S == 0:
+        return 0, 0, []
+    union = ca_present | cb_present
+    usum = union.sum(axis=1)
+    # dmr.py score_counts_pairs: categories = max(|codes_a|, |codes_b|)+1;
+    # ==2 with a >1-code union is invalid (None -> failure); the dirichlet
+    # k comes from the union
+    ncat = np.maximum(
+        ca_present.sum(axis=1), cb_present.sum(axis=1)
+    ) + 1
+    mod_a = ca_counts.sum(axis=1)
+    mod_b = cb_counts.sum(axis=1)
+    scores = np.zeros(S, dtype=np.float64)
+    ok = np.ones(S, dtype=bool)
+    ok &= ~((ncat == 2) & (usum > 1))
+    one = np.flatnonzero((ncat == 2) & (usum == 1))
+    if len(one):
+        # exactly one category code: its per-site column
+        cidx = np.argmax(union[one], axis=1)
+        scores[one] = np.atleast_1d(
+            llk_ratio_beta(
+                ca_counts[one, cidx].astype(np.float64),
+                ca_tot[one].astype(np.float64),
+                cb_counts[one, cidx].astype(np.float64),
+                cb_tot[one].astype(np.float64),
+            )
+        )
+    multi = np.flatnonzero(ncat > 2)
+    kvec = usum + 1
+    for k in np.unique(kvec[multi]) if len(multi) else ():
+        sel = np.flatnonzero((ncat > 2) & (kvec == k))
+        kk = int(k)
+        rows_a = np.zeros((len(sel), kk), dtype=np.float64)
+        rows_b = np.zeros((len(sel), kk), dtype=np.float64)
+        for r, si in enumerate(sel):
+            cols = np.flatnonzero(union[si])
+            rows_a[r, 0] = ca_tot[si] - mod_a[si]
+            rows_b[r, 0] = cb_tot[si] - mod_b[si]
+            rows_a[r, 1:] = ca_counts[si, cols]
+            rows_b[r, 1:] = cb_counts[si, cols]
+        scores[sel] = np.atleast_1d(llk_ratio_dirichlet(rows_a, rows_b))
+    pmap, effect = estimator.predict_batch(
+        mod_a, ca_tot, mod_b, cb_tot
+    )
+    ok &= np.isfinite(pmap)
+    # vectorized f32 percent strings (bedmethyl.py string_percentages)
+    f32 = np.float32
+    pa = (
+        ca_counts.astype(f32) / ca_tot[:, None].astype(f32) * f32(100.0)
+    )
+    pb = (
+        cb_counts.astype(f32) / cb_tot[:, None].astype(f32) * f32(100.0)
+    )
+    pct_a = mod_a.astype(f32) / ca_tot.astype(f32)
+    pct_b = mod_b.astype(f32) / cb_tot.astype(f32)
+    names = [str(c) for c in vocab]
+    # per-site count/percent strings, built pattern-grouped (sites sharing
+    # a presence bitmask render with the same fixed column set — no
+    # per-site flatnonzero / numpy scalar ops)
+    weights = 1 << np.arange(C)
+
+    def strings_for(present, counts, pcts):
+        bits = present @ weights
+        sc = [None] * S
+        sp = [None] * S
+        for pat in np.unique(bits):
+            sel = np.flatnonzero(bits == pat)
+            cols = [j for j in range(C) if pat & (1 << j)]
+            if not cols:
+                for i in sel.tolist():
+                    sc[i] = sp[i] = "."
+                continue
+            cnt_cols = [counts[sel, j].tolist() for j in cols]
+            pct_cols = [pcts[sel, j] for j in cols]
+            pct_strs = [
+                np.char.mod(f"{names[j]}:%.2f", pc).tolist()
+                for j, pc in zip(cols, pct_cols)
+            ]
+            sel_l = sel.tolist()
+            for row, vals in enumerate(zip(*cnt_cols)):
+                i = sel_l[row]
+                sc[i] = ",".join(
+                    f"{names[j]}:{v}" for j, v in zip(cols, vals)
+                )
+            for row, vals in enumerate(zip(*pct_strs)):
+                i = sel_l[row]
+                sp[i] = ",".join(vals)
+        return sc, sp
+
+    sc_a, sp_a = strings_for(ca_present, ca_counts, pa)
+    sc_b, sp_b = strings_for(cb_present, cb_counts, pb)
+    successes = failures = 0
+    seg_sites = []
+    pos_arr = (keys >> 3).tolist()
+    strand_arr = ((keys >> 2) & 1).tolist()
+    okl = ok.tolist()
+    ca_tot_l = ca_tot.tolist()
+    cb_tot_l = cb_tot.tolist()
+    scores_l = scores.tolist()
+    pmap_l = np.asarray(pmap).tolist()
+    effect_l = np.asarray(effect).tolist()
+    pct_a_l = pct_a.tolist()
+    pct_b_l = pct_b.tolist()
+    rows = []
+    for i in range(S):
+        if not okl[i]:
+            failures += 1
+            continue
+        pos = pos_arr[i]
+        strand = "-" if strand_arr[i] else "+"
+        rows.append(
+            f"{chrom}\t{pos}\t{pos + 1}\t.\t"
+            f"{format_float(scores_l[i], f64=True)}\t{strand}\t"
+            f"{sc_a[i]}\t{ca_tot_l[i]}\t{sc_b[i]}\t{cb_tot_l[i]}\t"
+            f"{sp_a[i]}\t{sp_b[i]}\t"
+            f"{format_float(np.float32(pct_a_l[i]))}\t"
+            f"{format_float(np.float32(pct_b_l[i]))}\t"
+            f"{format_float(pmap_l[i], f64=True)}\t"
+            f"{format_float(effect_l[i], f64=True)}\n"
+        )
+        successes += 1
+        if segmenter is not None:
+            a_cols = np.flatnonzero(ca_present[i])
+            b_cols = np.flatnonzero(cb_present[i])
+            ca_obj = AggregatedCounts(
+                {vocab[j]: int(ca_counts[i, j]) for j in a_cols},
+                int(ca_tot[i]),
+            )
+            cb_obj = AggregatedCounts(
+                {vocab[j]: int(cb_counts[i, j]) for j in b_cols},
+                int(cb_tot[i]),
+            )
+            seg_sites.append((pos, float(scores[i]), ca_obj, cb_obj))
+    out.write("".join(rows))
+    return successes, failures, seg_sites
+
+
 def run_single_site_analysis(
     sample_index: SampleIndex,
     a_idxs: list[int],
@@ -275,6 +546,49 @@ def run_single_site_analysis(
     ):
         if pcount > 1 and batch_idx % pcount != pidx:
             continue
+        # single-sample-per-side fast path: native columnar parse +
+        # vectorized site grouping/scoring/rendering (byte-identical rows)
+        if num_a == 1 and num_b == 1:
+            ca_cols = _collect_columns(
+                sample_index, a_idxs[0], chrom, lo, hi
+            )
+            cb_cols = _collect_columns(
+                sample_index, b_idxs[0], chrom, lo, hi
+            )
+            if ca_cols is not None and cb_cols is not None:
+                lookup = sample_index.code_lookup
+                ka, ca_cnt, ca_pre, ca_tot, vocab = _site_table(
+                    ca_cols, lookup
+                )
+                kb, cb_cnt, cb_pre, cb_tot, _ = _site_table(
+                    cb_cols, lookup
+                )
+                pos_keys = np.fromiter(
+                    (
+                        p * 8 + (4 if s == "-" else 0) + _BASE_IDX[b]
+                        for p, s, b in positions
+                    ),
+                    dtype=np.int64, count=len(positions),
+                )
+                pos_keys.sort()
+                common = np.intersect1d(ka, kb, assume_unique=True)
+                common = common[
+                    np.isin(common, pos_keys, assume_unique=False)
+                ]
+                ia = np.searchsorted(ka, common)
+                ib = np.searchsorted(kb, common)
+                s_ok, s_fail, seg_sites = _render_sites_fast(
+                    chrom, common, ca_cnt[ia], ca_pre[ia], ca_tot[ia],
+                    cb_cnt[ib], cb_pre[ib], cb_tot[ib], vocab,
+                    estimator, out, segmenter,
+                )
+                successes += s_ok
+                failures += s_fail
+                if segmenter is not None:
+                    segmenter.add_sites(chrom, seg_sites)
+                if pcount > 1:
+                    out.write("\x00TILE\x00")
+                continue
         pos_set = set(positions)
         counts_a = _collect_counts(
             sample_index, a_idxs, chrom, lo, hi, pos_set

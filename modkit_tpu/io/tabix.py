@@ -255,6 +255,27 @@ class TabixFile:
     def has_contig(self, name: str) -> bool:
         return name in self.index.name_to_id
 
+    def fetch_blob(self, chrom: str, start: int, end: int) -> bytes:
+        """Raw text bytes of every indexed chunk overlapping the region
+        (complete lines; may include lines outside the region — the
+        caller filters, e.g. the native columnar bedMethyl parser)."""
+        rid = self.index.name_to_id.get(chrom)
+        if rid is None:
+            return b""
+        parts = []
+        for cbeg, cend in self.index.query_chunks(rid, start, end):
+            buf = bytearray(self._bgzf.read_span(cbeg, cend))
+            if not buf.endswith(b"\n"):
+                self._bgzf.seek_voffset(cend)
+                tail = self._bgzf.read(1 << 12)
+                while tail and b"\n" not in tail:
+                    buf += tail
+                    tail = self._bgzf.read(1 << 12)
+                if tail:
+                    buf += tail.split(b"\n", 1)[0] + b"\n"
+            parts.append(bytes(buf))
+        return b"".join(parts)
+
     def fetch(self, chrom: str, start: int, end: int):
         """Yield text lines overlapping [start, end) on chrom."""
         rid = self.index.name_to_id.get(chrom)

@@ -430,11 +430,55 @@ def load():
             ]
             lib.mk_entropy_free.restype = None
             lib.mk_entropy_free.argtypes = [ctypes.c_void_p]
+            lib.mk_parse_bedmethyl.restype = ctypes.c_int32
+            lib.mk_parse_bedmethyl.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_char_p, ctypes.c_int32,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+                ctypes.POINTER(ctypes.POINTER(ctypes.c_int64)),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
             _lib = lib
         except Exception:
             _load_failed = True
             return None
     return _lib
+
+
+def parse_bedmethyl_columns(
+    blob: bytes, chrom: str, qstart: int, qend: int, min_valid: int,
+    allowed_codes,
+):
+    """Columnar bedMethyl parse (native mk_parse_bedmethyl): returns an
+    [n, 6] int64 array of (start, code, strand01, n_mod, valid, canon), or
+    None when the native library is unavailable."""
+    lib = load()
+    if lib is None:
+        return None
+    codes = np.asarray(
+        [_encode_mod_code(c) for c in allowed_codes], dtype=np.int64
+    )
+    out_blob = ctypes.POINTER(ctypes.c_int64)()
+    out_n = ctypes.c_int64()
+    rc = lib.mk_parse_bedmethyl(
+        blob, len(blob), chrom.encode(), len(chrom.encode()),
+        qstart, qend, min_valid,
+        codes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(codes),
+        ctypes.byref(out_blob), ctypes.byref(out_n),
+    )
+    if rc != 0:
+        return None
+    n = out_n.value
+    if n == 0:
+        return np.zeros((0, 6), dtype=np.int64)
+    try:
+        arr = np.ctypeslib.as_array(out_blob, shape=(n, 6)).copy()
+    finally:
+        lib.mk_free_buf(
+            ctypes.cast(out_blob, ctypes.POINTER(ctypes.c_char))
+        )
+    return arr
 
 
 def me_entropy(sequences: list[str], window_size: int, constant: float):

@@ -5972,4 +5972,122 @@ void mk_entropy_free(void* handle) {
   delete static_cast<EpBatch*>(handle);
 }
 
+// ---------------------------------------------------------------------------
+// bedMethyl columnar parse (bedmethyl.py BedMethylLine.parse; reference
+// src/dmr/bedmethyl.rs:25-160). Parses a fetched text blob into flat i64
+// columns for the vectorized dmr single-site path:
+//   [start, code, strand(0 '+',1 '-',2 '.'), n_mod, valid_cov, n_canonical]
+// filtered by chrom, [qstart, qend) overlap, min coverage, and an allowed
+// mod-code list (empty = all). Malformed lines are skipped, mirroring the
+// Python read_lines ValueError->continue.
+// ---------------------------------------------------------------------------
+int32_t mk_parse_bedmethyl(
+    const char* text, int64_t len, const char* chrom, int32_t chrom_len,
+    int64_t qstart, int64_t qend, int64_t min_valid,
+    const int64_t* allowed_codes, int32_t n_allowed,
+    int64_t** out_blob, int64_t* out_n) {
+  *out_blob = nullptr;
+  *out_n = 0;
+  std::vector<int64_t> rows;
+  rows.reserve(4096);
+  const char* p = text;
+  const char* endp = text + len;
+  auto parse_int = [](const char* s, const char* e, int64_t* v) -> bool {
+    if (s >= e) return false;
+    bool neg = false;
+    if (*s == '-') { neg = true; ++s; }
+    if (s >= e) return false;
+    int64_t x = 0;
+    for (; s < e; ++s) {
+      if (*s < '0' || *s > '9') return false;
+      x = x * 10 + (*s - '0');
+    }
+    *v = neg ? -x : x;
+    return true;
+  };
+  while (p < endp) {
+    const char* nl = (const char*)memchr(p, '\n', (size_t)(endp - p));
+    const char* line_end = nl ? nl : endp;
+    const char* line = p;
+    p = nl ? nl + 1 : endp;
+    // split on tabs: need fields 0..5 and 9.. (space-or-tab stats)
+    const char* f[10];
+    const char* fe[10];
+    int nf = 0;
+    const char* q = line;
+    while (nf < 10 && q <= line_end) {
+      const char* t =
+          (const char*)memchr(q, '\t', (size_t)(line_end - q));
+      f[nf] = q;
+      fe[nf] = t ? t : line_end;
+      ++nf;
+      if (!t) break;
+      q = t + 1;
+    }
+    if (nf < 10) continue;
+    // chrom filter
+    if ((int32_t)(fe[0] - f[0]) != chrom_len ||
+        std::memcmp(f[0], chrom, (size_t)chrom_len) != 0)
+      continue;
+    int64_t start = 0, stop = 0, valid = 0;
+    if (!parse_int(f[1], fe[1], &start)) continue;
+    if (!parse_int(f[2], fe[2], &stop)) continue;
+    if (!(start < qend && stop > qstart)) continue;
+    // mod code: name column up to the first comma
+    const char* ce = (const char*)memchr(f[3], ',', (size_t)(fe[3] - f[3]));
+    const char* code_end = ce ? ce : fe[3];
+    int64_t code;
+    if (code_end - f[3] == 1) {
+      code = -(int64_t)(uint8_t)f[3][0];
+    } else if (!parse_int(f[3], code_end, &code)) {
+      continue;
+    }
+    if (n_allowed > 0) {
+      bool ok = false;
+      for (int32_t i = 0; i < n_allowed && !ok; ++i)
+        if (allowed_codes[i] == code) ok = true;
+      if (!ok) continue;
+    }
+    if (!parse_int(f[4], fe[4], &valid)) continue;
+    if (valid < min_valid) continue;
+    if (fe[5] - f[5] < 1) continue;
+    char sc = f[5][0];
+    int64_t strand = sc == '+' ? 0 : sc == '-' ? 1 : sc == '.' ? 2 : -1;
+    if (strand < 0) continue;
+    // stats columns: fields 9..end re-split on space OR tab
+    // (writers.rs:94-101 --mixed-delim); rest[2] = n_mod, rest[3] = canon
+    int64_t n_mod = -1, canon = -1;
+    {
+      int ri = 0;
+      const char* s = f[9];
+      while (s < line_end && ri < 4) {
+        const char* e2 = s;
+        while (e2 < line_end && *e2 != ' ' && *e2 != '\t') ++e2;
+        if (e2 > s) {
+          if (ri == 2 && !parse_int(s, e2, &n_mod)) { n_mod = -1; break; }
+          if (ri == 3 && !parse_int(s, e2, &canon)) { canon = -1; break; }
+          ++ri;
+        }
+        s = e2 + 1;
+      }
+    }
+    if (n_mod < 0 || canon < 0) continue;
+    rows.push_back(start);
+    rows.push_back(code);
+    rows.push_back(strand);
+    rows.push_back(n_mod);
+    rows.push_back(valid);
+    rows.push_back(canon);
+  }
+  int64_t n = (int64_t)(rows.size() / 6);
+  if (n) {
+    int64_t* blob = (int64_t*)std::malloc(rows.size() * sizeof(int64_t));
+    if (blob == nullptr) return 2;
+    std::memcpy(blob, rows.data(), rows.size() * sizeof(int64_t));
+    *out_blob = blob;
+  }
+  *out_n = n;
+  return 0;
+}
+
 }  // extern "C"
