@@ -575,7 +575,7 @@ def run_extract(
                 "processing reads:", suppress=fh is sys.stdout
             )
             tid_names = [r.name for r in reader.header.refs]
-            for text, nr, errs in _native.extract_full_stream(
+            stream = _native.extract_full_stream(
                 reader.bam_raw,
                 tid_names,
                 ref_seqs=ref_seqs,
@@ -592,12 +592,27 @@ def run_extract(
                 pass_only=pass_only,
                 ignore_implicit=ignore_implicit,
                 n_threads=max(1, min(threads, _os.cpu_count() or 1)),
-            ):
-                _write_bytes(text)
-                n_reads += nr
-                for k, v in errs.items():
-                    errors[k] += v
-                ticker.update(reads=n_reads)
+            )
+            # one-slot prefetch: the next span decodes+formats natively
+            # (GIL released in ctypes) while this span's ~8 MB of rows
+            # stream to disk — write and compute overlap, matching the
+            # reference's compute->bounded-channel->writer pipeline
+            # (extract/subcommand.rs:135)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(1) as _pool:
+                fut = _pool.submit(next, stream, None)
+                while True:
+                    item = fut.result()
+                    if item is None:
+                        break
+                    fut = _pool.submit(next, stream, None)
+                    text, nr, errs = item
+                    _write_bytes(text)
+                    n_reads += nr
+                    for k, v in errs.items():
+                        errors[k] += v
+                    ticker.update(reads=n_reads)
             ticker.finish(reads=n_reads)
             if close:
                 fh.close()

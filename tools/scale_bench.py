@@ -81,7 +81,7 @@ def main():
     }
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SCALE_r04.json",
+        "BENCH_SCALE_r05.json",
     )
     with open(path, "w") as fh:
         json.dump(out, fh, indent=1)
