@@ -9,7 +9,8 @@ def test_all_reference_flags_exist():
     from modkit_tpu.cli import build_parser
 
     text = open("/root/reference/book/src/advanced_usage.md").read()
-    ref_flags = set(re.findall(r"--[a-z0-9][a-z0-9-]+", text))
+    # underscores: the reference exposes --min_refine_frac_mod verbatim
+    ref_flags = set(re.findall(r"--[a-z0-9][a-z0-9_-]+", text))
     ours = set()
 
     def walk(parser):
