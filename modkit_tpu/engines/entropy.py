@@ -409,24 +409,46 @@ def sliding_windows(
     all_hits.sort(key=lambda h: h[0])
     hit_keys = [h[0] - contig_start for h in all_hits]
 
+    n_hits = len(all_hits)
+
     def find_hits_from(curr: int):
+        """First ``num_positions`` filtered hits per strand from curr —
+        _enough_hits never looks past hits[:num_positions], and the
+        failure-advance needs only the first two filtered hit positions,
+        so the scan stops early instead of materializing every hit in the
+        window (dense-motif windows held ~75 tuples of which 4 were
+        used)."""
         end = min(curr + window_size, len(seq))
         pos_hits, neg_hits = [], []
+        first_keys = []
         i = bisect_left(hit_keys, curr)
-        while i < len(all_hits) and hit_keys[i] < end:
+        want = num_positions
+        while i < n_hits and hit_keys[i] < end:
             h = all_hits[i]
-            if h[4] <= end:  # motif fully inside the window scan range
-                (pos_hits if h[2] == STRAND_POS else neg_hits).append(
-                    h[:4]
-                )
             i += 1
-        return pos_hits, neg_hits, end
+            if h[4] > end:  # motif straddles the window scan range
+                continue
+            if len(first_keys) < 2 and (
+                not first_keys or first_keys[-1] != hit_keys[i - 1]
+            ):
+                first_keys.append(hit_keys[i - 1])
+            if h[2] == STRAND_POS:
+                if len(pos_hits) < want:
+                    pos_hits.append(h[:4])
+            elif not combine_strands and len(neg_hits) < want:
+                neg_hits.append(h[:4])
+            if len(pos_hits) >= want and (
+                combine_strands or len(neg_hits) >= want
+            ):
+                if len(first_keys) >= 2 or i >= n_hits:
+                    break
+        return pos_hits, neg_hits, end, first_keys
 
     curr = _find_start_position(seq, motifs)
     if curr is None:
         return
     while curr < len(seq):
-        pos_hits, neg_hits, end = find_hits_from(curr)
+        pos_hits, neg_hits, end, first_keys = find_hits_from(curr)
         window = _enough_hits(
             pos_hits, neg_hits, combine_strands, num_positions
         )
@@ -434,14 +456,13 @@ def sliding_windows(
             yield window
             curr = (window.leftmost() + 1) - contig_start
         else:
-            hits = sorted(
-                {h[0] - contig_start for h in pos_hits + neg_hits}
-            )
-            if hits:
-                if curr == hits[0]:
-                    curr = hits[1] if len(hits) > 1 else end
+            if first_keys:
+                if curr == first_keys[0]:
+                    curr = (
+                        first_keys[1] if len(first_keys) > 1 else end
+                    )
                 else:
-                    curr = hits[0]
+                    curr = first_keys[0]
             else:
                 curr = end
 

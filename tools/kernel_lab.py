@@ -467,23 +467,25 @@ def main():
 
     counter = counters_for(p2, colb, valid, plan["kc"])
     col = colb + counter
-
-    # chunking-independent oracle: flat bincount over (group, p2, col)
-    def want_np(plan_, c2g_, p2_, colb_, valid_, col_):
-        ng = plan_["n_groups"]
-        grp = np.repeat(
-            np.arange(len(c2g_), dtype=np.int64), CHUNK
-        )  # placeholder; recomputed below per chunk size
-        return None
     c2g_d = jax.device_put(c2g)
     p2_d = jax.device_put(p2)
     col_d = jax.device_put(col)
     valid_d = jax.device_put(valid.astype(np.int32))
     n_groups = plan["n_groups"]
 
+    def rep8_prod(plane, fill=None):
+        pr = plane.reshape(len(c2g), CHUNK)
+        if fill is not None:
+            pr = np.where(valid.reshape(len(c2g), CHUNK) != 0, pr, fill)
+        return np.repeat(
+            pr.reshape(len(c2g), 1, CHUNK).astype(np.uint8), 8, axis=1
+        ).reshape(len(c2g) * 8, CHUNK)
+
+    p2r_prod = jax.device_put(rep8_prod(p2))
+    colr_prod = jax.device_put(rep8_prod(col, fill=255))
     want = np.asarray(
         _count_call(
-            c2g_d, p2_d, col_d, valid_d, n_groups=n_groups, interpret=False
+            c2g_d, p2r_prod, colr_prod, n_groups=n_groups, interpret=False
         )
     )
 
@@ -504,10 +506,11 @@ def main():
 
     dt = _timeit(
         lambda: _count_call(
-            c2g_d, p2_d, col_d, valid_d, n_groups=n_groups, interpret=False
+            c2g_d, p2r_prod, colr_prod, n_groups=n_groups, interpret=False
         )
     )
-    print(f"current bf16/f32 x1   : {n / dt / 1e9:.2f} Geps")
+    print(f"current rep8-int8     : {n / dt / 1e9:.2f} Geps "
+          "(enqueue-only timing; see tools/true_bench.py)")
 
     todo = sys.argv[1:] or [
         "bf16x2", "bf16x4", "int8x1", "int8x4", "bigk-bf16", "bigk-int8",
