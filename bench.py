@@ -444,7 +444,7 @@ def main():
     ent_reads = int(os.environ.get("MODKIT_BENCH_ENTROPY_READS", "5000"))
     ent_bam = os.path.join(tmp, "ent.bam")
     ent_fa = os.path.join(tmp, "ent.fa")
-    make_synthetic_modbam(
+    ent_stats = make_synthetic_modbam(
         ent_bam, n_reads=ent_reads, read_len=read_len, coverage=coverage,
         seed=2, fasta_out=ent_fa,
     )
@@ -536,7 +536,7 @@ def main():
     n_lines = 0
     for sid in (0, 1):
         pos = 0
-        while pos < stats["contig_len"]:
+        while pos < ent_stats["contig_len"]:
             n_lines += len(
                 si.read_lines(sid, contig, pos, pos + 1_000_000)
             )

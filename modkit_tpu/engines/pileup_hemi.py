@@ -119,9 +119,7 @@ def run_pileup_hemi(args) -> int:
 
     from ..io.cram import open_alignment_reader
 
-    reader = open_alignment_reader(
-        args.in_bam, getattr(args, 'reference_fasta', None)
-    )
+    reader = open_alignment_reader(args.in_bam, args.ref)
     header = reader.header
     fasta = FastaReader(args.ref)
 

@@ -669,10 +669,14 @@ class SliceDecoder:
             if self.ref_id == -2:
                 ri = self._r(b"RI").read_int()
                 # multi-reference slice: resolve this record's reference
+                # (RR=0 files store sequences verbatim and need no ref,
+                # same as the single-ref branch's reference_required guard)
                 if ri != self._cur_rid:
                     self._cur_rid = ri
                     self._ref = (
-                        self._ref_getter(ri) if ri >= 0 else b""
+                        self._ref_getter(ri)
+                        if ri >= 0 and comp.reference_required
+                        else b""
                     )
                     self._ref_offset = 0
             else:

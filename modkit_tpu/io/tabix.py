@@ -89,12 +89,20 @@ class TabixIndex:
 
 def bgzip_text(src, out_path: str, level: int = 6) -> str:
     """BGZF-compress text (bytes or a file path) to ``out_path`` — the
-    `bgzip` step users need before tabix-indexing a bedMethyl."""
+    `bgzip` step users need before tabix-indexing a bedMethyl. File
+    sources stream in 4 MB chunks (WGS bedMethyls don't fit in RAM)."""
     from .bgzf import BgzfWriter
 
-    data = src if isinstance(src, (bytes, bytearray)) else open(src, "rb").read()
     w = BgzfWriter(out_path, level=level)
-    w.write(bytes(data))
+    if isinstance(src, (bytes, bytearray)):
+        w.write(bytes(src))
+    else:
+        with open(src, "rb") as fh:
+            while True:
+                chunk = fh.read(4 << 20)
+                if not chunk:
+                    break
+                w.write(chunk)
     w.close()
     return out_path
 
@@ -118,7 +126,13 @@ def build_tabix(
     from .bam import reg2bin
 
     out_path = out_path or gz_path + ".tbi"
-    raw = open(gz_path, "rb").read()
+    import mmap as _mmap
+
+    _fh = open(gz_path, "rb")
+    try:
+        raw = _mmap.mmap(_fh.fileno(), 0, access=_mmap.ACCESS_READ)
+    except ValueError:
+        raw = _fh.read()  # empty file
     names: list[str] = []
     name_to_id: dict[str, int] = {}
     bins: list[dict] = []
@@ -193,6 +207,10 @@ def build_tabix(
             handle(line, vbeg, (coffset << 16) | (nl + 1))
             pos = nl + 1
         coffset += bsize
+    if carry:
+        # final line without a trailing newline still indexes (htslib
+        # tabix accepts it)
+        handle(bytes(carry), carry_vbeg, coffset << 16)
 
     names_blob = b"".join(n.encode() + b"\x00" for n in names)
     out = bytearray()
@@ -255,6 +273,21 @@ class TabixFile:
     def has_contig(self, name: str) -> bool:
         return name in self.index.name_to_id
 
+    def _read_chunk_lines(self, cbeg: int, cend: int) -> bytes:
+        """One chunk's bytes, completed to a line boundary (line-aligned
+        chunk ends — e.g. from build_tabix — must NOT pull in the next
+        chunk's first line)."""
+        buf = bytearray(self._bgzf.read_span(cbeg, cend))
+        if not buf.endswith(b"\n"):
+            self._bgzf.seek_voffset(cend)
+            tail = self._bgzf.read(1 << 12)
+            while tail and b"\n" not in tail:
+                buf += tail
+                tail = self._bgzf.read(1 << 12)
+            if tail:
+                buf += tail.split(b"\n", 1)[0] + b"\n"
+        return bytes(buf)
+
     def fetch_blob(self, chrom: str, start: int, end: int) -> bytes:
         """Raw text bytes of every indexed chunk overlapping the region
         (complete lines; may include lines outside the region — the
@@ -262,19 +295,10 @@ class TabixFile:
         rid = self.index.name_to_id.get(chrom)
         if rid is None:
             return b""
-        parts = []
-        for cbeg, cend in self.index.query_chunks(rid, start, end):
-            buf = bytearray(self._bgzf.read_span(cbeg, cend))
-            if not buf.endswith(b"\n"):
-                self._bgzf.seek_voffset(cend)
-                tail = self._bgzf.read(1 << 12)
-                while tail and b"\n" not in tail:
-                    buf += tail
-                    tail = self._bgzf.read(1 << 12)
-                if tail:
-                    buf += tail.split(b"\n", 1)[0] + b"\n"
-            parts.append(bytes(buf))
-        return b"".join(parts)
+        return b"".join(
+            self._read_chunk_lines(cbeg, cend)
+            for cbeg, cend in self.index.query_chunks(rid, start, end)
+        )
 
     def fetch(self, chrom: str, start: int, end: int):
         """Yield text lines overlapping [start, end) on chrom."""
@@ -285,19 +309,8 @@ class TabixFile:
         cs = self.index.col_seq - 1
         zero_based = bool(self.index.format & 0x10000)
         for cbeg, cend in self.index.query_chunks(rid, start, end):
-            buf = bytearray(self._bgzf.read_span(cbeg, cend))
-            if not buf.endswith(b"\n"):
-                # chunk ends mid-line: complete the final line (line-aligned
-                # chunk ends — e.g. from build_tabix — must NOT pull in the
-                # next chunk's first line)
-                self._bgzf.seek_voffset(cend)
-                tail = self._bgzf.read(1 << 12)
-                while tail and b"\n" not in tail:
-                    buf += tail
-                    tail = self._bgzf.read(1 << 12)
-                if tail:
-                    buf += tail.split(b"\n", 1)[0] + b"\n"
-            for line in bytes(buf).split(b"\n"):
+            buf = self._read_chunk_lines(cbeg, cend)
+            for line in buf.split(b"\n"):
                 if not line or line.startswith(self.index.meta.encode()):
                     continue
                 fields = line.split(b"\t")

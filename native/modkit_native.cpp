@@ -4365,6 +4365,18 @@ int32_t mk_cram_decode_container(
     }
     if (sref == (const uint8_t*)ref && !(s_ref >= 0 && comp.ref_required))
       if (embedded_ref_id < 0 && s_ref < 0) { sref = nullptr; sref_len = 0; }
+    if (s_ref >= 0 && comp.ref_required && sref == nullptr) {
+      // single-reference slice inside a multi-ref (-2) container: the
+      // caller passed no container-level ref — resolve via the callback
+      // rather than silently decoding against 'N's
+      if (ref_cb == nullptr) return 1;
+      int64_t L = 0;
+      const char* pr = ref_cb((int32_t)s_ref, &L);
+      if (pr == nullptr) return 1;
+      sref = (const uint8_t*)pr;
+      sref_len = L;
+      ref_offset = 0;
+    }
 
     auto ref_base = [&](int64_t rpos0) -> char {
       int64_t i = rpos0 - ref_offset;
@@ -4414,11 +4426,13 @@ int32_t mk_cram_decode_container(
       int64_t rid = (s_ref == -2) ? R("RI").read_int() : s_ref;
       if (s_ref == -2 && rid != cur_rid) {
         // multi-ref slice: resolve this record's reference lazily
+        // (RR=0 files store sequences verbatim -> no lookup, matching
+        // the slice-level reference_required guard)
         cur_rid = rid;
         sref = nullptr;
         sref_len = 0;
         ref_offset = 0;
-        if (rid >= 0) {
+        if (rid >= 0 && comp.ref_required) {
           int64_t L = 0;
           const char* pr = ref_cb((int32_t)rid, &L);
           if (pr == nullptr) return 1;  // ref unavailable: python path
@@ -6055,21 +6069,29 @@ int32_t mk_parse_bedmethyl(
     int64_t strand = sc == '+' ? 0 : sc == '-' ? 1 : sc == '.' ? 2 : -1;
     if (strand < 0) continue;
     // stats columns: fields 9..end re-split on space OR tab
-    // (writers.rs:94-101 --mixed-delim); rest[2] = n_mod, rest[3] = canon
+    // (writers.rs:94-101 --mixed-delim). The scalar parser requires >= 9
+    // stats tokens with integer tokens 2..8 (bedmethyl.py parse nums =
+    // int(rest[2:9])); mirror it so both paths skip the same lines.
     int64_t n_mod = -1, canon = -1;
     {
       int ri = 0;
+      bool bad = false;
       const char* s = f[9];
-      while (s < line_end && ri < 4) {
+      while (s < line_end && ri < 9) {
         const char* e2 = s;
         while (e2 < line_end && *e2 != ' ' && *e2 != '\t') ++e2;
         if (e2 > s) {
-          if (ri == 2 && !parse_int(s, e2, &n_mod)) { n_mod = -1; break; }
-          if (ri == 3 && !parse_int(s, e2, &canon)) { canon = -1; break; }
+          if (ri >= 2) {
+            int64_t v;
+            if (!parse_int(s, e2, &v)) { bad = true; break; }
+            if (ri == 2) n_mod = v;
+            if (ri == 3) canon = v;
+          }
           ++ri;
         }
         s = e2 + 1;
       }
+      if (bad || ri < 9) continue;
     }
     if (n_mod < 0 || canon < 0) continue;
     rows.push_back(start);
