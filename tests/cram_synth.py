@@ -69,11 +69,13 @@ def enc_byte_array_stop(stop: int, cid: int) -> bytes:
     return itf8(5) + itf8(len(params)) + params
 
 
-def compression_header(series: dict, tag_dict_blob: bytes = b"\x00") -> bytes:
+def compression_header(series: dict, tag_dict_blob: bytes = b"\x00",
+                       ref_required: bool = True) -> bytes:
     # preservation map: RN=1 names included, AP=0 absolute positions,
-    # RR=1, TD = one empty tag line
+    # RR per flag, TD = one empty tag line
     pm = (
-        b"RN\x01" + b"AP\x00" + b"RR\x01"
+        b"RN\x01" + b"AP\x00"
+        + b"RR" + (b"\x01" if ref_required else b"\x00")
         + b"TD" + itf8(len(tag_dict_blob)) + tag_dict_blob
     )
     pm_body = itf8(4) + pm
@@ -114,16 +116,34 @@ def eof_container() -> bytes:
     return struct.pack("<i", 0) + head + b"\x00\x00\x00\x00"
 
 
-def build_multiref_cram(header_text: str, reads, method: int = RAW) -> bytes:
+def build_multiref_cram(
+    header_text: str, reads, method: int = RAW,
+    ref_required: bool = True, seqs: dict | None = None,
+    slice_ref: int = -2,
+) -> bytes:
     """One multi-reference container (ref = -2, per-record RI) holding
     ``reads``: list of (name, flag, rid, pos0, length, quals bytes).
     Records are full reference matches (FN=0) so sequence reconstruction
-    exercises the per-record reference lookup."""
+    exercises the per-record reference lookup.
+
+    ``ref_required=False`` writes an RR=0 file (no-ref CRAM): each
+    record stores its bases verbatim via a single 'b' feature, pulled
+    from ``seqs`` (contig name -> str). ``slice_ref`` overrides the
+    slice header's reference id (e.g. a fixed >=0 rid inside a -2
+    container — a spec-gray layout some writers produce)."""
     # per-series external streams
-    streams = {k: bytearray() for k in
-               ("BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN", "MQ")}
+    keys = ["BF", "CF", "RI", "RL", "AP", "RG", "TL", "FN", "MQ"]
+    if not ref_required:
+        keys += ["FC", "FP"]
+    streams = {k: bytearray() for k in keys}
     names = bytearray()
     quals = bytearray()
+    seq_bytes = bytearray()
+    contig_names = [
+        l.split("\t")[1][3:]
+        for l in header_text.splitlines()
+        if l.startswith("@SQ")
+    ]
     for name, flag, rid, pos0, length, q in reads:
         streams["BF"] += itf8(flag)
         streams["CF"] += itf8(1)          # quals stored
@@ -132,7 +152,16 @@ def build_multiref_cram(header_text: str, reads, method: int = RAW) -> bytes:
         streams["AP"] += itf8(pos0 + 1)   # absolute (AP=0 preservation)
         streams["RG"] += itf8(-1 & 0xFFFFFFFF)
         streams["TL"] += itf8(0)
-        streams["FN"] += itf8(0)          # perfect reference match
+        if ref_required:
+            streams["FN"] += itf8(0)      # perfect reference match
+        else:
+            # no-ref record: one 'b' feature stores the bases verbatim
+            streams["FN"] += itf8(1)
+            streams["FC"] += b"b"
+            streams["FP"] += itf8(1)
+            seq_bytes += seqs[contig_names[rid]][
+                pos0 : pos0 + length
+            ].encode() + b"\x00"
         streams["MQ"] += itf8(60)
         names += name.encode() + b"\t"
         quals += q
@@ -142,16 +171,19 @@ def build_multiref_cram(header_text: str, reads, method: int = RAW) -> bytes:
     series = {k.encode(): enc_external(cids[k]) for k in streams}
     series[b"RN"] = enc_byte_array_stop(9, cids["RN"])  # '\t' stop
     series[b"QS"] = enc_external(cids["QS"])
-    comp_raw = compression_header(series)
+    if not ref_required:
+        cids["BB"] = len(cids) + 1
+        series[b"BB"] = enc_byte_array_stop(0, cids["BB"])
+    comp_raw = compression_header(series, ref_required=ref_required)
 
     n = len(reads)
     min_pos = min(r[3] for r in reads)
     max_end = max(r[3] + r[4] for r in reads)
     slice_hdr = (
-        itf8(-2 & 0xFFFFFFFF)
+        itf8(slice_ref & 0xFFFFFFFF)
         + itf8(min_pos + 1) + itf8(max_end - min_pos)
         + itf8(n) + ltf8(0)
-        + itf8(1 + len(streams) + 2)  # core + stream/RN/QS externals
+        + itf8(1 + len(streams) + 2 + (0 if ref_required else 1))
         + arr_itf8(sorted(cids.values()))
         + itf8(-1 & 0xFFFFFFFF)   # no embedded ref
         + b"\x00" * 16            # md5
@@ -166,6 +198,10 @@ def build_multiref_cram(header_text: str, reads, method: int = RAW) -> bytes:
         )
     slice_blocks.append(write_block(method, 4, cids["RN"], bytes(names)))
     slice_blocks.append(write_block(method, 4, cids["QS"], bytes(quals)))
+    if not ref_required:
+        slice_blocks.append(
+            write_block(method, 4, cids["BB"], bytes(seq_bytes))
+        )
 
     body = blocks[0]
     landmark = len(body)

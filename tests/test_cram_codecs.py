@@ -109,6 +109,78 @@ def test_multiref_container_native_and_python(tmp_path, method, monkeypatch):
     check(CramReader(str(p), str(fa)))
 
 
+def test_multiref_rr0_decodes_without_reference(tmp_path, monkeypatch):
+    """RR=0 (no-ref) multi-reference CRAM decodes with no reference at
+    all — sequences come from stored 'b' features (round-5 review fix:
+    the per-record ref switch must honor reference_required)."""
+    import random
+
+    monkeypatch.delenv("MODKIT_REF_PATH", raising=False)
+    random.seed(5)
+    seqs = {
+        "chrA": "".join(random.choice("ACGT") for _ in range(200)),
+        "chrB": "".join(random.choice("ACGT") for _ in range(150)),
+    }
+    header = (
+        "@HD\tVN:1.6\tSO:coordinate\n"
+        "@SQ\tSN:chrA\tLN:200\n@SQ\tSN:chrB\tLN:150\n"
+    )
+    reads = [
+        ("r1", 0, 0, 5, 40, bytes([30] * 40)),
+        ("r2", 0, 1, 10, 30, bytes([20] * 30)),
+        ("r3", 0, 0, 60, 25, bytes([25] * 25)),
+    ]
+    blob = synth.build_multiref_cram(
+        header, reads, method=synth.GZIP, ref_required=False, seqs=seqs
+    )
+    p = tmp_path / "rr0.cram"
+    p.write_bytes(blob)
+    names = ["chrA", "chrB"]
+
+    def check(reader):
+        recs = list(reader.records())
+        assert len(recs) == len(reads)
+        for rec, (name, flag, rid, pos0, length, _q) in zip(recs, reads):
+            assert (rec.name, rec.ref_id, rec.pos) == (name, rid, pos0)
+            got_seq = "".join(chr(c) for c in rec.seq_bytes().tolist())
+            assert got_seq == seqs[names[rid]][pos0 : pos0 + length]
+
+    check(CramReader(str(p)))  # native path, NO reference anywhere
+
+    import modkit_tpu.native as native
+
+    monkeypatch.setattr(native, "available", lambda: False)
+    check(CramReader(str(p)))  # python path
+
+
+def test_single_ref_slice_in_multiref_container(tmp_path):
+    """A -2 container holding a single-ref slice (spec-gray, produced by
+    some writers) resolves the slice reference through the callback
+    instead of silently decoding against 'N's (round-5 review fix)."""
+    import random
+
+    random.seed(6)
+    seqs = {"chrA": "".join(random.choice("ACGT") for _ in range(200))}
+    fa = tmp_path / "one.fa"
+    fa.write_text(f">chrA\n{seqs['chrA']}\n")
+    header = "@HD\tVN:1.6\tSO:coordinate\n@SQ\tSN:chrA\tLN:200\n"
+    reads = [
+        ("r1", 0, 0, 5, 40, bytes([30] * 40)),
+        ("r2", 0, 0, 60, 30, bytes([20] * 30)),
+    ]
+    blob = synth.build_multiref_cram(
+        header, reads, method=synth.GZIP, slice_ref=0
+    )
+    p = tmp_path / "gray.cram"
+    p.write_bytes(blob)
+    recs = list(CramReader(str(p), str(fa)).records())
+    assert len(recs) == 2
+    for rec, (name, _f, rid, pos0, length, _q) in zip(recs, reads):
+        got_seq = "".join(chr(c) for c in rec.seq_bytes().tolist())
+        assert got_seq == seqs["chrA"][pos0 : pos0 + length]
+        assert "N" not in got_seq
+
+
 def test_multiref_native_byte_equals_python(tmp_path, monkeypatch):
     p, fa, _seqs, _reads = _multiref_fixture(tmp_path, synth.GZIP)
     got_native = _snapshot(CramReader(str(p), str(fa)))
